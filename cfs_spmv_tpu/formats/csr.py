@@ -1,0 +1,112 @@
+"""Host-side CSR container.
+
+Analog of the reference's ``CSRMatrix`` storage layer
+(``csr_matrix.hpp:96-125``) minus the tuned state: the TPU build keeps CSR
+purely as a host-side canonical format from which device layouts (BELL,
+SSS, BSR) are planned. Construction from COO mirrors the reference's CSR
+fill with empty-row handling (``csr_matrix.tpp:74-107``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .coo import COO
+
+__all__ = ["CSR"]
+
+
+@dataclasses.dataclass
+class CSR:
+    nrows: int
+    ncols: int
+    indptr: np.ndarray  # (nrows+1,) int64
+    indices: np.ndarray  # (nnz,) int32, col-sorted within each row
+    data: np.ndarray  # (nnz,)
+    symmetric: bool = False  # if True, holds only the lower triangle
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    @staticmethod
+    def from_coo(coo: COO) -> "CSR":
+        coo = coo.canonicalize()
+        indptr = np.zeros(coo.nrows + 1, dtype=np.int64)
+        counts = np.bincount(coo.row, minlength=coo.nrows)
+        np.cumsum(counts, out=indptr[1:])
+        return CSR(
+            coo.nrows,
+            coo.ncols,
+            indptr,
+            coo.col.astype(np.int32),
+            coo.val,
+            coo.symmetric,
+        )
+
+    def to_coo(self) -> COO:
+        row = np.repeat(
+            np.arange(self.nrows, dtype=np.int32), np.diff(self.indptr)
+        )
+        return COO(self.nrows, self.ncols, row, self.indices.copy(),
+                   self.data.copy(), self.symmetric)
+
+    def transpose(self) -> "CSR":
+        """CSR of the transpose (used to build the SSS upper stream)."""
+        coo = self.to_coo()
+        t = COO(self.ncols, self.nrows, coo.col, coo.row, coo.val, False)
+        return CSR.from_coo(t)
+
+    def split_triangle(self) -> tuple["CSR", np.ndarray, "CSR"]:
+        """Split into (strict lower CSR, diagonal array, strict upper CSR).
+
+        The symmetric formats store diag separately per the reference's
+        ``SymThreadData`` layout (``csr_matrix.hpp:221-277``).
+        """
+        coo = self.to_coo()
+        diag = np.zeros(min(self.nrows, self.ncols), dtype=self.dtype)
+        on = coo.row == coo.col
+        diag[coo.row[on]] = coo.val[on]
+        lower = coo.row > coo.col
+        upper = coo.row < coo.col
+        lo = COO(self.nrows, self.ncols, coo.row[lower], coo.col[lower],
+                 coo.val[lower], False)
+        up = COO(self.nrows, self.ncols, coo.row[upper], coo.col[upper],
+                 coo.val[upper], False)
+        return CSR.from_coo(lo), diag, CSR.from_coo(up)
+
+    def size_bytes(self) -> int:
+        """Memory footprint (analog of ``CSRMatrix::size()``,
+        ``csr_matrix.tpp:190-228``)."""
+        return (
+            self.indptr.nbytes + self.indices.nbytes + self.data.nbytes
+        )
+
+    def spmv_host(self, x: np.ndarray, *, absolute: bool = False) -> np.ndarray:
+        """Serial host oracle, the analog of ``cpu_mv_serial``
+        (``csr_matrix.tpp:2664-2681``) used by the differential tests
+        (``test_spmv_mmf.cpp:85-89``). Handles the symmetric fold-in like
+        ``cpu_mv_sym_serial`` (``csr_matrix.tpp:2706-2729``).
+
+        ``absolute=True`` computes ``|A| @ |x|``, the componentwise
+        backward-error scale used by the fp32 tolerance checks."""
+        a = self
+        data = np.abs(a.data) if absolute else a.data
+        x = np.abs(x) if absolute else x
+        acc = np.zeros(a.nrows, dtype=np.result_type(a.dtype, x.dtype))
+        row = np.repeat(np.arange(a.nrows), np.diff(a.indptr))
+        np.add.at(acc, row, data * x[a.indices])
+        if a.symmetric:
+            off = row != a.indices
+            np.add.at(acc, a.indices[off], data[off] * x[row[off]])
+        return acc.astype(np.result_type(a.dtype, x.dtype))

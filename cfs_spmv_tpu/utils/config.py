@@ -1,0 +1,82 @@
+"""Runtime configuration.
+
+TPU-native replacement for the reference's three-layer config system
+(autoconf flags + compile-time defines + ``CFS_NUM_THREADS`` env var, see
+``configure.ac:48-67``, ``src/Makefile.am:5``, ``src/runtime.cpp:10-21``).
+Everything is a runtime knob here; env vars use the same ``CFS_`` prefix.
+
+Tunable constants mirror the reference's ``static constexpr`` members
+(``csr_matrix.hpp:89-94``): ``BlkFactor=16`` row blocking becomes the
+128-row / 128-lane tile of the TPU layout; ``HybBwThreshold=10000`` becomes
+the window span that triggers spilling to the scattered stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+__all__ = ["Config", "config", "env_int", "env_flag"]
+
+
+def env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    try:
+        return int(v)
+    except ValueError as e:
+        raise ValueError(f"bad integer for ${name}: {v!r}") from e
+
+
+def env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclasses.dataclass
+class Config:
+    # --- tile geometry (hardware-derived; v5e VPU is 8x128) ---
+    #: rows per output tile == lane count (analog of BlkFactor=16,
+    #: ref csr_matrix.hpp:90, scaled to the TPU lane width)
+    lane_rows: int = 128
+    #: nnz positions per chunk == sublane count
+    sublanes: int = 8
+    #: x-window size in elements per chunk (8 sublane rows x 128 lanes)
+    window: int = 1024
+
+    # --- tuning ---
+    #: max spill fraction before tune() warns that the matrix is a bad fit
+    #: for the banded layout (analog of the HYB threshold decision,
+    #: ref csr_matrix.tpp:313-401)
+    spill_warn_fraction: float = 0.05
+    #: load-balancing passes for partitioners (ref BalancingSteps=10,
+    #: csr_matrix.hpp:93)
+    balancing_steps: int = 10
+
+    # --- runtime ---
+    #: number of devices to use (0 = all); env CFS_NUM_DEVICES mirrors the
+    #: reference's CFS_NUM_THREADS (src/runtime.cpp:10-21)
+    num_devices: int = dataclasses.field(
+        default_factory=lambda: env_int("CFS_NUM_DEVICES", 0)
+    )
+    #: force Pallas interpret mode (automatic on CPU backends)
+    interpret: bool = dataclasses.field(
+        default_factory=lambda: env_flag("CFS_INTERPRET", False)
+    )
+    #: plan cache directory ("" disables); improvement over the reference,
+    #: which re-parses and re-tunes from scratch every run (SURVEY §5)
+    plan_cache_dir: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("CFS_PLAN_CACHE", "")
+    )
+    #: verbose [INFO] logging (runtime flag replacing compile-time
+    #: _LOG_INFO, ref configure.ac:64-67)
+    log_info: bool = dataclasses.field(
+        default_factory=lambda: env_flag("CFS_LOG", False)
+    )
+
+
+#: process-global config instance (mutable; tests may override fields)
+config = Config()

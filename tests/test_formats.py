@@ -1,0 +1,67 @@
+"""Host format tests: COO/CSR containers and conversions."""
+
+import numpy as np
+
+from cfs_spmv_tpu.formats.coo import COO
+from cfs_spmv_tpu.formats.csr import CSR
+
+
+def test_coo_canonicalize_dedups():
+    coo = COO(
+        3, 3,
+        np.array([2, 0, 2, 0], np.int32),
+        np.array([1, 0, 1, 0], np.int32),
+        np.array([1.0, 2.0, 3.0, 4.0]),
+    ).canonicalize()
+    assert coo.nnz == 2
+    assert coo.val.tolist() == [6.0, 4.0]
+
+
+def test_csr_from_coo_empty_rows():
+    # ref csr_matrix.tpp:91-103 empty-row fill
+    coo = COO(
+        4, 4,
+        np.array([0, 3], np.int32),
+        np.array([1, 2], np.int32),
+        np.array([1.0, 2.0]),
+    )
+    csr = CSR.from_coo(coo)
+    assert csr.indptr.tolist() == [0, 1, 1, 1, 2]
+    assert csr.row_lengths.tolist() == [1, 0, 0, 1]
+
+
+def test_csr_transpose():
+    coo = COO.random(50, 30, 4.0, seed=5, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    t = csr.transpose()
+    assert (t.nrows, t.ncols) == (30, 50)
+    assert np.allclose(t.to_coo().to_dense(), coo.to_dense().T)
+
+
+def test_split_triangle():
+    coo = COO.random(40, 40, 5.0, symmetric=True, seed=6, dtype=np.float64)
+    full = CSR.from_coo(coo.expand_symmetric())
+    lo, diag, up = full.split_triangle()
+    dense = coo.to_dense()
+    assert np.allclose(np.diag(dense), diag)
+    assert np.allclose(
+        lo.to_coo().to_dense() + np.diag(diag) + up.to_coo().to_dense(),
+        dense,
+    )
+    # symmetric: upper == lowerᵀ
+    assert np.allclose(up.to_coo().to_dense(), lo.to_coo().to_dense().T)
+
+
+def test_symmetric_nnz_full():
+    coo = COO.random(30, 30, 3.0, symmetric=True, seed=7)
+    ndiag = int(np.count_nonzero(coo.row == coo.col))
+    assert coo.nnz_full == 2 * coo.nnz - ndiag
+
+
+def test_spmv_host_oracle_symmetric():
+    coo = COO.random(64, 64, 4.0, symmetric=True, seed=8, dtype=np.float64)
+    csr_sym = CSR.from_coo(coo)  # lower-triangle storage
+    x = np.random.default_rng(0).uniform(10.01, 20.42, 64)
+    y = csr_sym.spmv_host(x)
+    y_dense = coo.to_dense() @ x
+    assert np.allclose(y, y_dense, rtol=1e-12)

@@ -1,0 +1,100 @@
+"""MMF loader tests, covering the reference loader semantics
+(``io/mmf.hpp``): header parsing, symmetric triangle handling, sorting,
+pattern default value, error paths."""
+
+import io
+
+import numpy as np
+import pytest
+
+from cfs_spmv_tpu.io.mmf import PATTERN_DEFAULT_VALUE, read_mmf, write_mmf
+
+
+def _file(text: str):
+    return io.BytesIO(text.encode())
+
+
+def test_general_roundtrip(tmp_path):
+    p = tmp_path / "g.mtx"
+    row = np.array([0, 1, 2, 2])
+    col = np.array([1, 0, 2, 0])
+    val = np.array([1.5, -2.0, 3.25, 0.5])
+    write_mmf(p, 3, 3, row, col, val)
+    hdr, r, c, v = read_mmf(p)
+    assert (hdr.nrows, hdr.ncols, hdr.nnz_declared) == (3, 3, 4)
+    assert not hdr.symmetric
+    # sorted by (row, col), ref mmf.hpp:305
+    assert list(r) == [0, 1, 2, 2]
+    assert list(c) == [1, 0, 0, 2]
+    assert v[2] == 0.5 and v[3] == 3.25
+
+
+def test_symmetric_triangle_kept():
+    txt = (
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n"
+        "1 1 2.0\n2 1 -1.0\n3 3 4.0\n3 2 0.5\n"
+    )
+    hdr, r, c, v = read_mmf(_file(txt))
+    assert hdr.symmetric
+    assert len(r) == 4  # triangle only
+    assert np.all(r >= c)  # canonical lower
+
+
+def test_symmetric_expand():
+    txt = (
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n"
+        "1 1 2.0\n2 1 -1.0\n3 3 4.0\n3 2 0.5\n"
+    )
+    hdr, r, c, v = read_mmf(_file(txt), expand_symmetric=True)
+    # 2 diag + 2 off-diag mirrored -> 6 entries, ref mmf.hpp:279-293
+    assert len(r) == 6
+    dense = np.zeros((3, 3))
+    dense[r, c] = v
+    assert np.allclose(dense, dense.T)
+
+
+def test_upper_triangle_input_canonicalized():
+    txt = (
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "2 2 2\n"
+        "1 1 1.0\n1 2 5.0\n"  # stored as upper; must flip to lower
+    )
+    _, r, c, v = read_mmf(_file(txt))
+    assert np.all(r >= c)
+    assert v[np.flatnonzero((r == 1) & (c == 0))[0]] == 5.0
+
+
+def test_pattern_default_value():
+    txt = (
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n1 1\n2 2\n"
+    )
+    _, r, c, v = read_mmf(_file(txt))
+    assert np.all(v == PATTERN_DEFAULT_VALUE)  # ref mmf.hpp:334-337
+
+
+def test_bad_header_rejected():
+    with pytest.raises(ValueError):
+        read_mmf(_file("%%MatrixMarket matrix array real general\n1 1\n"))
+    with pytest.raises(ValueError):
+        read_mmf(_file("not a matrix\n"))
+
+
+def test_out_of_bounds_rejected():
+    txt = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 1\n5 1 1.0\n"
+    )
+    with pytest.raises(ValueError):
+        read_mmf(_file(txt))
+
+
+def test_truncated_body_rejected():
+    txt = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 3\n1 1 1.0\n"
+    )
+    with pytest.raises(ValueError):
+        read_mmf(_file(txt))

@@ -1,0 +1,134 @@
+"""Differential SpMV/SpMM correctness tests.
+
+Replicates the reference harness pattern (``test_spmv_mmf.cpp:31-120``):
+load → tune → run the tuned kernel TWICE (catches cross-call state
+corruption) → compare element-wise against the untuned serial oracle
+under the reference tolerances. Pallas runs in interpreter mode on the
+CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from cfs_spmv_tpu import COO, CSR, Format, SpDMM, SpDMV, SparseMatrix, Tuning
+from cfs_spmv_tpu.utils.platform import allclose_spmv
+from tests.conftest import random_x
+
+
+def _check(A: SparseMatrix, x, dtype):
+    spdmv = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype)
+    y1 = np.asarray(spdmv(x))
+    y2 = np.asarray(spdmv(x))  # twice, ref test_spmv_mmf.cpp:82-83
+    np.testing.assert_array_equal(y1, y2)
+    xd = np.asarray(x, dtype=np.float64)
+    y_ref = A.csr.spmv_host(xd)
+    scale = A.csr.spmv_host(xd, absolute=True)
+    nnz_per_row = A.nnz_full / max(A.nrows, 1)
+    assert allclose_spmv(
+        y1, y_ref, dtype=dtype, nnz_per_row=nnz_per_row, scale=scale
+    ), np.max(np.abs(y1 - y_ref) / np.maximum(scale, 1e-30))
+    return y1
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_general_banded(medium_general_coo, dtype):
+    A = SparseMatrix.create(medium_general_coo, Format.CSR)
+    x = random_x(A.ncols, dtype)
+    _check(A, x, dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_symmetric_sss(small_sym_coo, dtype):
+    A = SparseMatrix.create(small_sym_coo, Format.SSS)
+    assert A.symmetric
+    x = random_x(A.ncols, dtype)
+    _check(A, x, dtype)
+
+
+def test_symmetric_as_general_csr_matches_sss(small_sym_coo):
+    """csr vs sss on the same matrix must agree (differential between
+    formats, the reference's central test idea)."""
+    A_sss = SparseMatrix.create(small_sym_coo, Format.SSS)
+    A_csr = SparseMatrix.create(small_sym_coo, Format.CSR)
+    x = random_x(A_sss.ncols, np.float64)
+    y_s = np.asarray(SpDMV(A_sss, dtype=np.float64)(x))
+    y_c = np.asarray(SpDMV(A_csr, dtype=np.float64)(x))
+    assert allclose_spmv(y_s, y_c, dtype=np.float64, nnz_per_row=8)
+
+
+def test_scattered_spill_path(scattered_coo):
+    """Unbanded matrix: a real spill fraction must still be exact."""
+    A = SparseMatrix.create(scattered_coo, Format.CSR)
+    x = random_x(A.ncols, np.float64)
+    _check(A, x, np.float64)
+    assert A.tuned.spill_fraction >= 0  # path exercised
+
+
+def test_hyb_format(small_sym_coo):
+    A = SparseMatrix.create(small_sym_coo, Format.HYB)
+    x = random_x(A.ncols, np.float64)
+    _check(A, x, np.float64)
+
+
+def test_mmf_end_to_end(tmp_path, small_sym_coo):
+    """Full reference flow: write .mtx → create(sss) → tune → spmv →
+    compare vs oracle (BASELINE config 1 shape)."""
+    from cfs_spmv_tpu.io.mmf import write_mmf
+
+    p = tmp_path / "m.mtx"
+    write_mmf(
+        p, small_sym_coo.nrows, small_sym_coo.ncols,
+        small_sym_coo.row, small_sym_coo.col, small_sym_coo.val,
+        symmetric=True,
+    )
+    A = SparseMatrix.create(str(p), Format.SSS)
+    x = random_x(A.ncols, np.float64)
+    _check(A, x, np.float64)
+
+
+def test_spmm_multi_rhs(medium_general_coo):
+    A = SparseMatrix.create(medium_general_coo, Format.CSR)
+    B = 4
+    x = np.stack(
+        [random_x(A.ncols, np.float64, seed=s) for s in range(B)], axis=1
+    )
+    Y = np.asarray(SpDMM(A, dtype=np.float64)(x))
+    assert Y.shape == (A.nrows, B)
+    for k in range(B):
+        y_ref = A.csr.spmv_host(x[:, k])
+        assert allclose_spmv(Y[:, k], y_ref, dtype=np.float64, nnz_per_row=9)
+
+
+def test_spmm_symmetric(small_sym_coo):
+    A = SparseMatrix.create(small_sym_coo, Format.SSS)
+    B = 3
+    x = np.stack(
+        [random_x(A.ncols, np.float64, seed=s) for s in range(B)], axis=1
+    )
+    Y = np.asarray(SpDMM(A, dtype=np.float64)(x))
+    for k in range(B):
+        y_ref = A.csr.spmv_host(x[:, k])
+        assert allclose_spmv(Y[:, k], y_ref, dtype=np.float64, nnz_per_row=8)
+
+
+def test_dimension_check(small_sym_coo):
+    A = SparseMatrix.create(small_sym_coo, Format.SSS)
+    spdmv = SpDMV(A, dtype=np.float64)
+    with pytest.raises(ValueError):
+        spdmv(np.ones(A.ncols + 1))
+
+
+def test_property_random_matrices():
+    """Property test over random shapes/densities (reference lacks this;
+    SURVEY §4 asks us to add it)."""
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        n = int(rng.integers(1, 400))
+        m = int(rng.integers(1, 400))
+        density = rng.uniform(0.5, 6.0)
+        bw = None if trial % 2 else int(rng.integers(1, 100))
+        coo = COO.random(n, m, density, bandwidth=bw, seed=trial,
+                         dtype=np.float64)
+        A = SparseMatrix.create(coo, Format.CSR)
+        x = random_x(m, np.float64, seed=trial)
+        _check(A, x, np.float64)
