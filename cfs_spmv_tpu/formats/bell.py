@@ -62,6 +62,12 @@ class BellPlan:
     slot (i, j) in the low half and the sublane table entry for window
     lane j in the high half (both tables share the (8, 128) shape, so one
     int32 stream carries 4 bytes/nnz of metadata — same as CSR's colind).
+
+    The chunk stream is padded so that each group of ``chunks_per_step``
+    consecutive chunks stays within one ``tiles_per_block``-tile output
+    block; the kernel then processes a whole group per grid step,
+    amortizing Pallas grid/DMA overhead (the TPU analog of the
+    reference's cache-blocking constants, ``csr_matrix.hpp:89-94``).
     """
 
     nrows: int
@@ -74,6 +80,8 @@ class BellPlan:
     num_row_tiles: int  # T
     x_pad_rows: int  # rows of the (x_pad_rows, 128) x operand
     spill: COO | None  # scattered stream (HYB analog); None if empty
+    chunks_per_step: int = 1  # K: chunks processed per grid step
+    tiles_per_block: int = 8  # BT: row tiles per output block
 
     @property
     def num_chunks(self) -> int:
@@ -95,46 +103,97 @@ class BellPlan:
         return self.vals.nbytes + self.packed.nbytes + self.base.nbytes
 
 
+def _pad_chunk_groups(vals, packed, base, chunk_tile, K, BT):
+    """Pad the chunk stream so each K-chunk grid step stays inside one
+    BT-tile output block (required by the multi-chunk kernel)."""
+    C = len(chunk_tile)
+    blocks = chunk_tile.astype(np.int64) // BT  # non-decreasing
+    nb = int(blocks[-1]) + 1 if C else 1
+    cnt = np.bincount(blocks, minlength=nb)
+    padded = -(-cnt // K) * K
+    old_start = np.concatenate([[0], np.cumsum(cnt)])
+    new_start = np.concatenate([[0], np.cumsum(padded)])
+    new_id = new_start[blocks] + (np.arange(C) - old_start[blocks])
+    Cn = int(new_start[-1])
+    if Cn == C:
+        return vals, packed, base, chunk_tile
+    vals_n = np.zeros((Cn,) + vals.shape[1:], vals.dtype)
+    packed_n = np.zeros((Cn,) + packed.shape[1:], packed.dtype)
+    base_n = np.zeros(Cn, base.dtype)
+    # padding chunks adopt the block's last real tile (adds zero, never
+    # triggers a new-block reset)
+    last_tile = chunk_tile[old_start[1:] - 1]
+    ct_n = np.repeat(last_tile, padded).astype(chunk_tile.dtype)
+    vals_n[new_id] = vals
+    packed_n[new_id] = packed
+    base_n[new_id] = base
+    ct_n[new_id] = chunk_tile
+    return vals_n, packed_n, base_n, ct_n
+
+
+#: strip width for cluster-aware chunking: one 128-aligned-down window of
+#: WINDOW elements always covers a strip (127 alignment slack reserved)
+STRIP = WINDOW - LANES  # 896
+
+
 def _assign_round(row, col, val, n):
     """One assignment round over (row, col)-sorted COO arrays.
 
-    Returns per-entry slot coordinates ``(tile, s_in_tile, sub, lane,
-    q, r, base_of_slot)`` plus a ``keep`` mask; entries that overflow their
-    chunk window or lose the conflict-free table rule get ``keep=False``.
+    Entries are grouped into chunks by (row tile, column strip, position):
+    the strip — an 896-wide column band relative to the tile's minimum
+    column — guarantees every chunk fits a single 1024-element window, so
+    rows whose nonzeros form several distant clusters (e.g. 3D stencils)
+    never overflow. This is the TPU-native analog of the reference's
+    bandwidth-based HYB split (``csr_matrix.tpp:313-401``), generalized to
+    per-tile multi-band.
+
+    Returns per-entry slot coordinates ``(tile, chunk_local, sub, lane,
+    q, r, base)`` plus a ``keep`` mask; entries that lose the conflict-free
+    table rule get ``keep=False``. ``chunk_local`` is a round-dense chunk
+    id ordered by (tile, strip, position-block).
     """
     nnz = len(row)
-    # position within row (cols sorted per CSR invariant)
-    newrow = np.ones(nnz, bool)
-    newrow[1:] = row[1:] != row[:-1]
-    row_start = np.cumsum(newrow) - 1  # compact row id per entry
-    starts = np.flatnonzero(newrow)
-    pos = np.arange(nnz, dtype=np.int64) - starts[row_start]
-
     tile = row >> 7
     lane = row & 127
-    s_in_tile = pos >> 3
+
+    # per-tile minimum column anchors the strip grid
+    ntiles = int(tile.max()) + 1
+    tile_min = np.full(ntiles, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(tile_min, tile, col)
+    strip = (col - tile_min[tile]) // STRIP
+
+    # position of each entry within its (row, strip) group; entries are
+    # (row, col)-sorted so groups are contiguous runs
+    grp_change = np.ones(nnz, bool)
+    grp_change[1:] = (row[1:] != row[:-1]) | (strip[1:] != strip[:-1])
+    grp_id = np.cumsum(grp_change) - 1
+    starts = np.flatnonzero(grp_change)
+    pos = np.arange(nnz, dtype=np.int64) - starts[grp_id]
+    s_blk = pos >> 3
     sub = pos & 7
 
-    # dense per-(tile, s) chunk key for this round
-    max_s = int(s_in_tile.max()) + 1 if nnz else 1
-    ts_key = tile * max_s + s_in_tile
+    # dense chunk ids ordered by (tile, strip, s_blk)
+    tsb = (tile * (int(strip.max()) + 1 if nnz else 1) + strip) * (
+        int(s_blk.max()) + 1 if nnz else 1
+    ) + s_blk
+    _, chunk_local = np.unique(tsb, return_inverse=True)
 
-    # window base per chunk = floor(min col in chunk / 128)
-    base_map = np.full(int(tile.max() + 1) * max_s if nnz else 1,
-                       np.iinfo(np.int64).max, np.int64)
-    np.minimum.at(base_map, ts_key, col)
-    base = base_map[ts_key] >> 7
+    # window base per chunk = floor(min col in chunk / 128); the strip
+    # bound guarantees col - 128*base < 1024 for every chunk member
+    nchunks = int(chunk_local.max()) + 1
+    base_map = np.full(nchunks, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(base_map, chunk_local, col)
+    base = base_map[chunk_local] >> 7
 
     off = col - (base << 7)
-    in_window = off < WINDOW  # off >= 0 by construction
-    q = np.where(in_window, off & 127, 0)
-    r = np.where(in_window, off >> 7, 0)
+    q = off & 127
+    r = off >> 7
 
     # conflict-free sublane-table rule: key (chunk, sub, q) -> single r.
     # First entry (CSR order) wins; later entries with different r lose.
     # Static replacement for the reference's conflict graph + coloring
     # (csr_matrix.tpp:1361-1501).
-    key = (ts_key * SUBLANES + sub) * LANES + q
+    key = (chunk_local * SUBLANES + sub) * LANES + q
     order = np.argsort(key, kind="stable")
     k_sorted = key[order]
     r_sorted = r[order]
@@ -142,15 +201,19 @@ def _assign_round(row, col, val, n):
     first[1:] = k_sorted[1:] != k_sorted[:-1]
     group = np.cumsum(first) - 1
     r_owner = r_sorted[np.flatnonzero(first)][group]
-    conflict_ok = np.empty(nnz, bool)
-    conflict_ok[order] = r_sorted == r_owner
+    keep = np.empty(nnz, bool)
+    keep[order] = r_sorted == r_owner
 
-    keep = in_window & conflict_ok
-    return tile, s_in_tile, sub, lane, q, r, base, keep
+    return tile, chunk_local, sub, lane, q, r, base, keep
 
 
 def build_bell_plan(
-    csr: CSR, *, dtype=np.float32, rounds: int = 3
+    csr: CSR,
+    *,
+    dtype=np.float32,
+    rounds: int = 3,
+    chunks_per_step: int = 64,
+    tiles_per_block: int = 128,
 ) -> BellPlan:
     """Build a BELL plan from a (general, non-symmetric-storage) CSR.
 
@@ -171,16 +234,16 @@ def build_bell_plan(
     col = csr.indices.astype(np.int64)
     val = np.asarray(csr.data)
 
-    # accumulated kept entries with (tile, round, s, sub, lane, q, r, base)
+    # accumulated kept entries with (tile, round, chunk, sub, lane, q, r)
     parts = []
     for rnd in range(max(1, rounds)):
         if len(row) == 0:
             break
-        tile, s, sub, lane, q, r, base, keep = _assign_round(row, col, val, n)
+        tile, ck, sub, lane, q, r, base, keep = _assign_round(row, col, val, n)
         if keep.any():
             parts.append(dict(
                 tile=tile[keep], rnd=np.full(keep.sum(), rnd, np.int64),
-                s=s[keep], sub=sub[keep], lane=lane[keep],
+                ck=ck[keep], sub=sub[keep], lane=lane[keep],
                 q=q[keep], r=r[keep], base=base[keep], val=val[keep],
             ))
         row, col, val = row[~keep], col[~keep], val[~keep]
@@ -192,19 +255,21 @@ def build_bell_plan(
     n_spill = len(row)
 
     if not parts:
-        plan = BellPlan(
-            n, m, 0,
+        va, pk, ba, ct = _pad_chunk_groups(
             np.zeros((T, SUBLANES, LANES), dtype),
             np.zeros((T, SUBLANES, LANES), np.int32),
             np.zeros(T, np.int32),
             np.arange(T, dtype=np.int32),
-            T, x_pad_rows, spill,
+            chunks_per_step, tiles_per_block,
         )
-        return plan
+        return BellPlan(
+            n, m, 0, va, pk, ba, ct, T, x_pad_rows, spill,
+            chunks_per_step, tiles_per_block,
+        )
 
     tile = np.concatenate([p["tile"] for p in parts])
     rnd = np.concatenate([p["rnd"] for p in parts])
-    s = np.concatenate([p["s"] for p in parts])
+    ck = np.concatenate([p["ck"] for p in parts])
     sub = np.concatenate([p["sub"] for p in parts])
     lane = np.concatenate([p["lane"] for p in parts])
     q = np.concatenate([p["q"] for p in parts])
@@ -212,13 +277,14 @@ def build_bell_plan(
     base = np.concatenate([p["base"] for p in parts])
     vkeep = np.concatenate([p["val"] for p in parts])
 
-    # assign dense global chunk ids, ordered by (tile, round, s) so chunks
-    # of one output tile are consecutive in the grid (Pallas revisiting)
-    max_s = int(s.max()) + 1
+    # assign dense global chunk ids, ordered by (tile, round, local chunk)
+    # so chunks of one output tile are consecutive in the grid (Pallas
+    # revisiting)
+    max_ck = int(ck.max()) + 1
     nrounds = int(rnd.max()) + 1
-    ckey = (tile * nrounds + rnd) * max_s + s
+    ckey = (tile * nrounds + rnd) * max_ck + ck
     uniq, chunk_of_entry = np.unique(ckey, return_inverse=True)
-    chunk_tile_real = (uniq // max_s) // nrounds
+    chunk_tile_real = (uniq // max_ck) // nrounds
     # ensure empty tiles still get one (zero) chunk so y is initialized
     missing = np.setdiff1d(np.arange(T, dtype=np.int64), chunk_tile_real)
     all_tiles = np.concatenate([chunk_tile_real, missing])
@@ -241,11 +307,17 @@ def build_bell_plan(
     r2_tbl[chunk, sub, q] = r
     packed = q_arr | (r2_tbl << 16)
 
+    vals_arr, packed, base_arr, chunk_tile = _pad_chunk_groups(
+        vals_arr, packed, base_arr.astype(np.int32), chunk_tile,
+        chunks_per_step, tiles_per_block,
+    )
+
     plan = BellPlan(
         n, m, nnz - n_spill,
         vals_arr, packed,
         base_arr.astype(np.int32), chunk_tile,
         T, x_pad_rows, spill,
+        chunks_per_step, tiles_per_block,
     )
     info(
         "bell: %dx%d nnz=%d chunks=%d pad=%.2fx spill=%.4f",

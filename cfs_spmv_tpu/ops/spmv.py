@@ -53,6 +53,12 @@ class BellDevice:
     x_pad_rows: int = dataclasses.field(metadata=dict(static=True))
     nrows: int = dataclasses.field(metadata=dict(static=True))
     ncols: int = dataclasses.field(metadata=dict(static=True))
+    chunks_per_step: int = dataclasses.field(
+        default=64, metadata=dict(static=True)
+    )
+    tiles_per_block: int = dataclasses.field(
+        default=128, metadata=dict(static=True)
+    )
 
 
 def to_device(plan: BellPlan) -> BellDevice:
@@ -76,6 +82,8 @@ def to_device(plan: BellPlan) -> BellDevice:
         x_pad_rows=plan.x_pad_rows,
         nrows=plan.nrows,
         ncols=plan.ncols,
+        chunks_per_step=plan.chunks_per_step,
+        tiles_per_block=plan.tiles_per_block,
     )
 
 
@@ -92,6 +100,8 @@ def bell_apply(dev: BellDevice, x: jax.Array) -> jax.Array:
     tiles = bell_spmv_tiles(
         dev.vals, dev.packed, dev.base, dev.chunk_tile, x2d,
         num_row_tiles=dev.num_row_tiles,
+        chunks_per_step=dev.chunks_per_step,
+        tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
     )
     y = tiles.reshape(-1)[: dev.nrows]
@@ -112,6 +122,8 @@ def bell_apply_mm(dev: BellDevice, x: jax.Array) -> jax.Array:
     tiles = bell_spmm_tiles(
         dev.vals, dev.packed, dev.base, dev.chunk_tile, x2d,
         num_row_tiles=dev.num_row_tiles,
+        chunks_per_step=dev.chunks_per_step,
+        tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
     )  # (B, T, 128)
     y = tiles.reshape(B, -1)[:, : dev.nrows].T

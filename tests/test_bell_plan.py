@@ -81,7 +81,9 @@ def test_empty_matrix():
     csr = CSR.from_coo(COO(256, 256, np.array([], np.int32),
                            np.array([], np.int32), np.array([])))
     plan = build_bell_plan(csr)
-    assert plan.num_chunks == plan.num_row_tiles == 2
+    assert plan.num_row_tiles == 2
+    # chunk stream padded to a multiple of chunks_per_step per block
+    assert plan.num_chunks % plan.chunks_per_step == 0
     assert plan.nnz == 0 and plan.spill is None
 
 
