@@ -1,0 +1,220 @@
+"""Benchmark harness — reference-compatible protocol, roofline-reported.
+
+Mirrors the reference bench (``bench/bench_spmv_mmf.cpp``): preprocessing
+time (SpDMV construction, :145-148), warmup + timed loops (:153-167),
+GFLOP/s = 2*nnz*iters/t (:168) — plus what the reference lacks: nnz/s
+against the per-chip HBM speed-of-light roofline (BASELINE.json
+requirement).
+
+Matrices: SuiteSparse files are not vendored (reference passes .mtx paths
+on argv; none are checked in) and this host has no network, so the bench
+synthesizes a cant-proxy: 62464 rows, symmetric, banded FEM-like
+structure with uniform row degree ~64 — the shape/density of `cant`
+(BASELINE config 2). Secondary lines cover a 3D 27-point stencil
+(nlpkkt-like) and a scattered stress case.
+
+Timing protocol: the axon tunnel has ~31 ms fixed round-trip latency, so
+iterations run inside one jitted fori_loop with a data dependency that
+prevents hoisting; latency is measured with an empty loop and subtracted.
+
+Prints ONE JSON line to stdout:
+  {"metric": "sym_spmv_nnz_s", "value": <nnz/s>, "unit": "nnz/s",
+   "vs_baseline": <value / (0.8 * roofline_nnz_s)>}
+vs_baseline >= 1.0 means the BASELINE target (>=80% of the HBM roofline)
+is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_cant_proxy(n=62464, half_bw=32, dtype=np.float32, seed=0):
+    """Symmetric banded FEM-proxy: each row's lower triangle is the
+    contiguous band [i-half_bw, i); uniform degree like `cant`."""
+    from cfs_spmv_tpu import COO, CSR
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), half_bw)
+    offs = np.tile(np.arange(1, half_bw + 1, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(-1.0, 1.0, len(rows)).astype(dtype)
+    diag = np.arange(n, dtype=np.int64)
+    r = np.concatenate([rows, diag]).astype(np.int32)
+    c = np.concatenate([cols, diag]).astype(np.int32)
+    v = np.concatenate([vals, rng.uniform(1.0, 2.0, n).astype(dtype)])
+    coo = COO(n, n, r, c, v, symmetric=True).canonicalize()
+    return CSR.from_coo(coo)
+
+
+def make_stencil27(g=40, dtype=np.float32, seed=0):
+    """3D 27-point stencil lower triangle (nlpkkt-like clustering)."""
+    from cfs_spmv_tpu import COO, CSR
+
+    idx = np.arange(g**3).reshape(g, g, g)
+    rows_l, cols_l = [], []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dz, dy, dx) < (0, 0, 0):
+                    continue
+                src = idx[
+                    max(0, dz) : g + min(0, dz) or g,
+                    max(0, dy) : g + min(0, dy) or g,
+                    max(0, dx) : g + min(0, dx) or g,
+                ]
+                dst = idx[
+                    max(0, -dz) : g + min(0, -dz) or g,
+                    max(0, -dy) : g + min(0, -dy) or g,
+                    max(0, -dx) : g + min(0, -dx) or g,
+                ]
+                rows_l.append(src.ravel())
+                cols_l.append(dst.ravel())
+    row = np.concatenate(rows_l)
+    col = np.concatenate(cols_l)
+    swap = col > row
+    row[swap], col[swap] = col[swap], row[swap].copy()
+    v = np.random.default_rng(seed).uniform(0.5, 1.5, len(row)).astype(dtype)
+    coo = COO(
+        g**3, g**3, row.astype(np.int32), col.astype(np.int32), v,
+        symmetric=True,
+    ).canonicalize()
+    return CSR.from_coo(coo)
+
+
+def measure_latency(iters=500):
+    """Fixed dispatch latency of an (almost) empty jitted loop."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def empty(x):
+        def body(i, a):
+            return a + 1e-9
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    r = empty(jnp.float32(0.0))
+    np.asarray(r)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(empty(jnp.float32(0.0)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_matvec(matvec, x, iters=500):
+    """Amortized per-iteration time with a hoisting-proof dependency."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+
+    @jax.jit
+    def loop(x):
+        def body(i, carry):
+            x, acc = carry
+            y = matvec(x * (1.0 + 1e-12 * i))
+            return (x, acc + y[0])
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
+
+    r = loop(x)
+    jax.block_until_ready(r)
+    lat = measure_latency(iters)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = loop(x)
+        np.asarray(r[1])
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - lat, 1e-9) / iters
+
+
+def bench_one(name, csr, *, iters=500, dtype=np.float32):
+    from cfs_spmv_tpu import Format, SparseMatrix, SpDMV, Tuning
+    from cfs_spmv_tpu.utils import roofline
+    from cfs_spmv_tpu.utils.platform import allclose_spmv
+
+    A = SparseMatrix.create(csr, Format.SSS if csr.symmetric else Format.CSR)
+    t0 = time.perf_counter()
+    sp = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype)
+    t_pre = time.perf_counter() - t0
+
+    n = A.ncols
+    x = np.random.default_rng(7).uniform(1.0, 2.0, n).astype(dtype)
+
+    # correctness gate (the bench result is meaningless if wrong)
+    y = np.asarray(sp(x))
+    xd = x.astype(np.float64)
+    ok = allclose_spmv(
+        y, A.csr.spmv_host(xd), dtype=dtype,
+        nnz_per_row=A.tuned.nnz_full / max(A.nrows, 1),
+        scale=A.csr.spmv_host(xd, absolute=True),
+    )
+
+    t_iter = time_matvec(sp, x, iters=iters)
+    nnz_full = A.tuned.nnz_full
+    gflops = 2 * nnz_full / t_iter / 1e9
+    nnz_s = nnz_full / t_iter
+
+    chip = roofline.detect_chip()
+    # ideal streaming cost: value + packed index per nnz + one x read and
+    # one y write per row/col (the reference-equivalent CSR traffic)
+    bpn = roofline.spmv_bytes_per_nnz(
+        value_bytes=np.dtype(dtype).itemsize, index_bytes=4,
+        nnz=nnz_full, nrows=A.nrows, ncols=A.ncols,
+        vector_bytes=np.dtype(dtype).itemsize,
+    )
+    sol = roofline.speed_of_light_nnz_s(chip, bpn)
+    tuned = A.tuned
+    log(
+        f"[{name}] n={A.nrows} nnz={nnz_full} preproc={t_pre:.2f}s "
+        f"t/iter={t_iter*1e6:.1f}us {gflops:.1f} GFLOP/s "
+        f"{nnz_s/1e9:.2f} Gnnz/s | pad={tuned.padding_ratio:.2f} "
+        f"spill={tuned.spill_fraction*100:.2f}% | SOL({chip.name}, "
+        f"{bpn:.1f}B/nnz)={sol/1e9:.1f} Gnnz/s -> {100*nnz_s/sol:.0f}% "
+        f"| correct={ok}"
+    )
+    return dict(
+        name=name, ok=bool(ok), nnz_s=nnz_s, gflops=gflops,
+        sol_nnz_s=sol, preproc_s=t_pre, t_iter=t_iter,
+    )
+
+
+def main():
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    results = []
+    results.append(bench_one("cant_proxy_sym", make_cant_proxy()))
+    results.append(bench_one("stencil27_sym", make_stencil27()))
+
+    head = results[0]
+    value = head["nnz_s"] if head["ok"] else 0.0
+    target = 0.8 * head["sol_nnz_s"]
+    print(
+        json.dumps(
+            dict(
+                metric="sym_spmv_nnz_s",
+                value=round(value, 1),
+                unit="nnz/s",
+                vs_baseline=round(value / target, 4),
+            )
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY §4: emulate
+multi-host with xla_force_host_platform_device_count).
+
+Differential: distributed result must match the serial host oracle and
+the single-chip path bit-for-bit-tolerance-wise."""
+
+import jax
+import numpy as np
+import pytest
+
+from cfs_spmv_tpu import COO, CSR, Format, SparseMatrix
+from cfs_spmv_tpu.parallel.dist import DistSpDMV, shard_csr_rows
+from cfs_spmv_tpu.parallel.mesh import make_mesh
+from cfs_spmv_tpu.utils.platform import allclose_spmv
+from tests.conftest import random_x
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+def test_shard_balance():
+    coo = COO.random(2000, 2000, 8.0, bandwidth=100, seed=0)
+    csr = CSR.from_coo(coo)
+    shards, bounds = shard_csr_rows(csr, 4)
+    assert sum(s.nnz for s in shards) == csr.nnz
+    assert len(bounds) == 5 and bounds[0] == 0
+    work = np.array([s.nnz for s in shards])
+    assert work.max() / work.mean() < 1.5  # tile-aligned balance
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_general(ndev):
+    mesh = make_mesh(ndev)
+    coo = COO.random(2100, 2100, 7.0, bandwidth=200, seed=1,
+                     dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh, dtype=np.float64)
+    x = random_x(2100, np.float64)
+    y = np.asarray(dsp(x))
+    y_ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert allclose_spmv(y, y_ref, dtype=np.float64, nnz_per_row=7,
+                         scale=scale)
+
+
+def test_dist_symmetric(mesh8):
+    coo = COO.random(1500, 1500, 6.0, symmetric=True, bandwidth=120,
+                     seed=2, dtype=np.float64)
+    csr = CSR.from_coo(coo)  # lower-triangle storage
+    assert csr.symmetric
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    x = random_x(1500, np.float64)
+    y = np.asarray(dsp(x))
+    y_ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert allclose_spmv(y, y_ref, dtype=np.float64, nnz_per_row=12,
+                         scale=scale)
+
+
+def test_dist_matches_single_chip(mesh8):
+    """Differential: 8-way sharded vs single-device tuned result."""
+    from cfs_spmv_tpu import SpDMV, Tuning
+
+    coo = COO.random(1200, 1200, 5.0, symmetric=True, bandwidth=90,
+                     seed=3, dtype=np.float64)
+    A = SparseMatrix.create(coo, Format.SSS)
+    x = random_x(1200, np.float64)
+    y1 = np.asarray(SpDMV(A, Tuning.AGGRESSIVE, dtype=np.float64)(x))
+    dsp = DistSpDMV(A.csr, mesh8, dtype=np.float64)
+    y8 = np.asarray(dsp(x))
+    scale = A.csr.spmv_host(x, absolute=True)
+    assert allclose_spmv(y8, y1, dtype=np.float64, nnz_per_row=10,
+                         scale=scale)
+
+
+def test_dist_uneven_rows(mesh8):
+    """Row count not divisible by tiles*devices; empty shards allowed."""
+    coo = COO.random(530, 530, 4.0, bandwidth=60, seed=4, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    x = random_x(530, np.float64)
+    y = np.asarray(dsp(x))
+    assert allclose_spmv(
+        y, csr.spmv_host(x), dtype=np.float64, nnz_per_row=4,
+        scale=csr.spmv_host(x, absolute=True),
+    )
+
+
+def test_dist_dim_check(mesh8):
+    coo = COO.random(300, 300, 3.0, seed=5, dtype=np.float64)
+    dsp = DistSpDMV(CSR.from_coo(coo), mesh8, dtype=np.float64)
+    with pytest.raises(ValueError):
+        dsp(np.ones(299))
