@@ -1,4 +1,4 @@
-from .bell import BellPlan, build_bell_plan  # noqa: F401
+from .bell2 import Bell2Plan, build_bell2_plan  # noqa: F401
 from .coo import COO  # noqa: F401
 from .csr import CSR  # noqa: F401
-from .sss import SSSPlan, build_sss_plan  # noqa: F401
+from .sbell import SBellPlan, build_sbell_plan  # noqa: F401

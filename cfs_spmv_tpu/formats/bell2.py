@@ -1,0 +1,369 @@
+"""BELL2 — segmented banded-ELL, the TPU-native tuned sparse layout.
+
+Core ideas (replacing the reference's tuned-CSR + conflict-free coloring
+machinery, ``csr_matrix.tpp:230-310, 1204-1639``):
+
+- Rows are grouped into 128-row tiles; a chunk is an (8, 128) slot grid
+  whose lane j always holds entries of row ``tile*128 + j``, so row sums
+  are pure sublane reductions — scatter (and therefore coloring) does not
+  exist.
+- Each chunk carries up to eight 128-aligned, 128-wide x *windows*
+  (``meta[c, 1 + w]`` = row of the (x_rows, 128) x operand). x values are
+  fetched with a two-step hardware gather: a sublane gather through the
+  per-(subrow, gather-lane) window table ``r2`` followed by a lane gather
+  by ``q = c % 128``.
+- Sublane-rows are built from two kinds of *units*:
+
+  * **diagonal units** ``(tile, row - col)``: all entries on one exact
+    diagonal offset. Within such a unit lane_r, lane_c and q are
+    automatically pairwise distinct and at most two windows are touched —
+    dense bands and stencils pack at ~100% fill. (This is the TPU analog
+    of the reference's bandwidth-structure exploitation.)
+  * **row-segment units** ``(tile, col//128, occurrence)``: the fallback
+    for scattered structure; an entry can always be placed, so the plan
+    is total — no spill stream exists.
+
+- Chunks pack consecutive subrow units of a tile while the union of
+  their windows fits the 8 window slots.
+
+Per-chunk metadata is a blocked SMEM operand (streamed per grid step), so
+chunk count — and matrix size — is not limited by the 1 MB SMEM capacity.
+
+Packed int32 bit layout per (subrow i, lane j):
+  bits 0-6   q       gather lane of the entry AT slot (i, j)  [j = lane_r]
+  bits 7-9   r2      window index serving gather-lane j of subrow i
+(the two fields live at different logical positions of the same array and
+are OR-combined; a position may carry both roles simultaneously).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils.logging import info
+from .csr import CSR
+
+__all__ = [
+    "Bell2Plan",
+    "build_bell2_plan",
+    "auto_geometry",
+    "LANES",
+    "SUBLANES",
+    "META_W",
+    "DIAG_THRESHOLD",
+]
+
+LANES = 128
+SUBLANES = 8
+META_W = 2 + SUBLANES  # [sub_in_block, n_windows, win0..win7]
+
+#: minimum entries on an exact diagonal for it to become a diagonal unit
+DIAG_THRESHOLD = 48
+
+
+@dataclasses.dataclass
+class Bell2Plan:
+    """Device layout for one BELL2 stream (C chunks, G = C/K grid steps)."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    vals: np.ndarray  # (C, 8, 128) dtype
+    packed: np.ndarray  # (C, 8, 128) int32 (q | r2<<7)
+    meta: np.ndarray  # (C, META_W) int32
+    step_block: np.ndarray  # (G,) int32
+    num_row_tiles: int
+    x_rows: int  # rows of the (x_rows, 128) x operand
+    chunks_per_step: int
+    tiles_per_block: int
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def padding_ratio(self) -> float:
+        return self.vals.size / max(self.nnz, 1)
+
+    @property
+    def spill_fraction(self) -> float:
+        return 0.0  # the layout is total
+
+    def stream_bytes(self) -> int:
+        return self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+
+
+def auto_geometry(nrows: int, nnz: int) -> tuple[int, int]:
+    """(chunks_per_step, tiles_per_block) adapted to problem size.
+
+    Large K amortizes Pallas grid/DMA overhead (measured ~90% of HBM
+    peak at K=128 on v5e) but costs trace/compile size and K-chunk
+    padding, so small matrices use smaller steps.
+    """
+    T = max(1, -(-nrows // LANES))
+    approx_chunks = max(T, nnz // (SUBLANES * LANES))
+    if approx_chunks >= 2048:
+        K = 128
+    elif approx_chunks >= 256:
+        K = 32
+    else:
+        K = 8
+    BT = 8
+    while BT * 2 <= min(128, T):
+        BT *= 2
+    return K, BT
+
+
+def _occurrence(keys: np.ndarray) -> np.ndarray:
+    """Rank of each element within its (sorted-stable) key group."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(first)
+    ranks = np.arange(len(ks)) - starts[np.cumsum(first) - 1]
+    out = np.empty(len(ks), np.int64)
+    out[order] = ranks
+    return out
+
+
+def plan_units(row, col, nnz, diag_threshold=DIAG_THRESHOLD):
+    """Split entries into diagonal / row-segment subrow units.
+
+    Returns per-entry ``unit_key`` — a lexicographic (tile, kind, a, b)
+    tuple encoded as int64, where diagonal units sort before row-segment
+    units within a tile — plus each entry's (lane, q, seg).
+    """
+    tile = row >> 7
+    lane = row & 127
+    seg = col >> 7
+    q = col & 127
+
+    off = row - col  # diagonal offset (any sign for general matrices)
+    off_adj = off - off.min() if nnz else off
+    dkey = tile * (off_adj.max() + 1 if nnz else 1) + off_adj
+    # count per exact diagonal within tile
+    uniq_d, dinv, dcnt = np.unique(dkey, return_inverse=True,
+                                   return_counts=True)
+    is_diag = dcnt[dinv] >= diag_threshold
+
+    # diagonal units: (tile, 0, off_adj, 0)
+    # rowseg units: (tile, 1, seg, occurrence within (row, seg))
+    rs_occ = _occurrence(row * (seg.max() + 1 if nnz else 1) + seg)
+
+    A = (off_adj.max() + 1 if nnz else 1)
+    B = (seg.max() + 1 if nnz else 1)
+    O = (rs_occ.max() + 1 if nnz else 1)
+    M = max(A, B * O)
+    unit_key = tile * 2 * M + np.where(
+        is_diag, off_adj, M + seg * O + rs_occ
+    )
+    return unit_key, tile, lane, q, seg
+
+
+def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES):
+    """Assign (chunk, subrow) to each unit and windows to each chunk.
+
+    Greedy scan of a tile's units in key order: a unit joins the current
+    chunk while subrows < 8 and the union of needed windows fits
+    ``max_windows`` slots (≤ 8; the paired symmetric kernel uses 4 so its
+    per-window transpose stores can be statically unrolled).
+    Returns per-entry (chunk, subrow, window-index), per-chunk
+    (tile, windows[8]) and the chunk count.
+    """
+    # order entries by (unit, seg) so each unit's windows are contiguous
+    order = np.lexsort((seg, unit_key))
+    u = unit_key[order]
+    s = seg[order]
+    t = tile[order]
+
+    # boundaries
+    new_unit = np.ones(len(u), bool)
+    new_unit[1:] = u[1:] != u[:-1]
+    new_win = new_unit.copy()
+    new_win[1:] |= s[1:] != s[:-1]  # new (unit, seg) pair
+    new_tile = new_unit.copy()
+    new_tile[1:] &= t[1:] != t[:-1]
+
+    # per-(unit,seg) and per-unit ids in sorted order
+    uw_id = np.cumsum(new_win) - 1  # distinct (unit, window-need) pairs
+    unit_id = np.cumsum(new_unit) - 1
+
+    n_units = int(unit_id[-1]) + 1 if len(u) else 0
+    first_of_unit = np.flatnonzero(new_unit)
+    unit_tile = t[first_of_unit]
+
+    # distinct (unit, seg) needs, flattened in order
+    uw_pos = np.flatnonzero(new_win)
+    uw_unit = unit_id[uw_pos]
+    uw_seg = s[uw_pos]
+    uw_start = np.searchsorted(uw_unit, np.arange(n_units))
+    uw_end = np.searchsorted(uw_unit, np.arange(n_units) + 1)
+
+    # greedy chunk packing per tile with window dedup (python loop over
+    # units — units ≈ subrows ≈ nnz / fill / 128, fast enough; a native
+    # C++ version is the planned accelerator for huge matrices)
+    chunk_of_unit = np.zeros(n_units, np.int64)
+    subrow_of_unit = np.zeros(n_units, np.int64)
+    uw_slot = np.zeros(len(uw_pos), np.int64)
+    chunk_tiles = []
+    chunk_windows = []  # list of per-chunk window lists
+    cur_tile = -1
+    cur_sub = SUBLANES
+    winmap: dict = {}
+    for k in range(n_units):
+        segs = uw_seg[uw_start[k] : uw_end[k]]
+        fresh = [sg for sg in segs if sg not in winmap]
+        if (
+            unit_tile[k] != cur_tile
+            or cur_sub >= SUBLANES
+            or len(winmap) + len(fresh) > max_windows
+        ):
+            cur_tile = unit_tile[k]
+            cur_sub = 0
+            winmap = {}
+            fresh = list(dict.fromkeys(segs))
+            chunk_tiles.append(cur_tile)
+            chunk_windows.append([])
+        for sg in fresh:
+            winmap[sg] = len(winmap)
+            chunk_windows[-1].append(sg)
+        for idx in range(uw_start[k], uw_end[k]):
+            uw_slot[idx] = winmap[uw_seg[idx]]
+        chunk_of_unit[k] = len(chunk_tiles) - 1
+        subrow_of_unit[k] = cur_sub
+        cur_sub += 1
+
+    C0 = len(chunk_tiles)
+    chunk_tiles = (
+        np.asarray(chunk_tiles, np.int64) if C0 else np.zeros(0, np.int64)
+    )
+
+    # window slot per entry via its (unit, seg) pair
+    r2_sorted = uw_slot[uw_id]
+
+    windows = np.zeros((C0, SUBLANES), np.int32)
+    nwin = np.zeros(C0, np.int32)
+    for ci, wl in enumerate(chunk_windows):
+        windows[ci, : len(wl)] = wl
+        nwin[ci] = len(wl)
+
+    # scatter back to original entry order
+    e_chunk = np.empty(len(u), np.int64)
+    e_sub = np.empty(len(u), np.int64)
+    e_r2 = np.empty(len(u), np.int64)
+    e_chunk[order] = chunk_of_unit[unit_id]
+    e_sub[order] = subrow_of_unit[unit_id]
+    e_r2[order] = r2_sorted
+
+    # ensure every tile has at least one chunk (empty tiles)
+    present = np.zeros(T, bool)
+    if C0:
+        present[chunk_tiles] = True
+    missing = np.flatnonzero(~present)
+    if len(missing):
+        chunk_tiles = np.concatenate([chunk_tiles, missing])
+        windows = np.concatenate(
+            [windows, np.zeros((len(missing), SUBLANES), np.int32)]
+        )
+        nwin = np.concatenate([nwin, np.zeros(len(missing), np.int32)])
+    # sort chunks by tile (stable keeps intra-tile order)
+    corder = np.argsort(chunk_tiles, kind="stable")
+    cremap = np.empty(len(chunk_tiles), np.int64)
+    cremap[corder] = np.arange(len(chunk_tiles))
+    e_chunk = cremap[e_chunk]
+    chunk_tiles = chunk_tiles[corder]
+    windows = windows[corder]
+    nwin = nwin[corder]
+    return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
+
+
+def group_pad(chunk_tiles, K, BT):
+    """Pad the chunk stream so each K-chunk grid step stays inside one
+    BT-tile output block. Returns (remap, C, blocks_per_chunk_padded)."""
+    C0 = len(chunk_tiles)
+    blocks = chunk_tiles // BT
+    nb = int(blocks[-1]) + 1 if C0 else 1
+    cnt = np.bincount(blocks, minlength=nb)
+    padded = np.maximum(-(-cnt // K) * K, K)
+    old_start = np.concatenate([[0], np.cumsum(cnt)])
+    new_start = np.concatenate([[0], np.cumsum(padded)])
+    remap = new_start[blocks] + (np.arange(C0) - old_start[blocks])
+    C = int(new_start[-1])
+    blk_full = np.repeat(np.arange(nb, dtype=np.int32), padded)
+    return remap, C, blk_full
+
+
+def build_bell2_plan(
+    csr: CSR,
+    *,
+    dtype=np.float32,
+    chunks_per_step: int | None = None,
+    tiles_per_block: int | None = None,
+    diag_threshold: int = DIAG_THRESHOLD,
+) -> Bell2Plan:
+    """Vectorized plan construction (O(nnz log nnz) + O(#subrows))."""
+    n, m, nnz = csr.nrows, csr.ncols, csr.nnz
+    auto_k, auto_bt = auto_geometry(n, nnz)
+    K = chunks_per_step or auto_k
+    BT = tiles_per_block or auto_bt
+    T = max(1, -(-n // LANES))
+    x_rows = max(1, -(-m // LANES))
+
+    if nnz == 0:
+        return _empty_plan(n, m, T, x_rows, dtype, K, BT)
+
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+    col = csr.indices.astype(np.int64)
+    val = np.asarray(csr.data)
+
+    unit_key, tile, lane, q, seg = plan_units(
+        row, col, nnz, diag_threshold
+    )
+    e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
+        unit_key, tile, seg, T
+    )
+
+    remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+    meta = np.zeros((C, META_W), np.int32)
+    meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
+    meta[remap, 1] = nwin
+    meta[remap, 2:] = windows
+    step_block = blk_full[::K].copy()
+
+    vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
+    packed = np.zeros((C, SUBLANES, LANES), np.int32)
+    ec = remap[e_chunk]
+    vals_arr[ec, e_sub, lane] = val.astype(dtype)
+    q_field = np.zeros((C, SUBLANES, LANES), np.int32)
+    q_field[ec, e_sub, lane] = q
+    r2_field = np.zeros((C, SUBLANES, LANES), np.int32)
+    r2_field[ec, e_sub, q] = e_r2
+    packed = q_field | (r2_field << 7)
+
+    plan = Bell2Plan(
+        n, m, nnz, vals_arr, packed, meta, step_block,
+        T, x_rows, K, BT,
+    )
+    info(
+        "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",
+        n, m, nnz, C, plan.padding_ratio,
+    )
+    return plan
+
+
+def _empty_plan(n, m, T, x_rows, dtype, K, BT):
+    chunk_tiles = np.arange(T, dtype=np.int64)
+    remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+    meta = np.zeros((C, META_W), np.int32)
+    meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
+    step_block = blk_full[::K].copy()
+    return Bell2Plan(
+        n, m, 0,
+        np.zeros((C, SUBLANES, LANES), dtype),
+        np.zeros((C, SUBLANES, LANES), np.int32),
+        meta, step_block, T, x_rows, K, BT,
+    )

@@ -1,0 +1,226 @@
+"""SBELL — paired symmetric BELL2: each stored lower-triangle nonzero
+feeds both y[r] and y[c].
+
+The reference's central idea is symmetric storage: keep the strict lower
+triangle + diagonal and fold the transpose contribution in during the
+kernel, halving memory traffic (``csr_matrix.tpp:641-1716``). Its cost on
+CPUs is write conflicts, solved there by conflict-free coloring. The TPU
+realization keeps the storage win and replaces the scatter with static
+layout built on *diagonal units*:
+
+- a sublane-row holds one exact diagonal ``(tile, row - col)`` of the
+  strict lower triangle. Within a diagonal, row lanes, column lanes and
+  gather lanes are all automatically pairwise distinct, so the row-side
+  gather (by q = c%128 through the window table) AND the transpose-side
+  lane permutation (landing each product on lane c%128) are conflict-free
+  with zero search;
+- the transpose products of a chunk are accumulated per *window* (each
+  window = one 128-column tile = one row tile of y for the transpose),
+  giving ≤ n_windows extra (1, 128) stores per chunk;
+- both targets must live in one ``tiles_per_block``-tile output block;
+  entries crossing a block boundary, or on diagonals too sparse to pay
+  for pairing (fill below ``pair_threshold``), go to a one-sided BELL2
+  "far" stream holding both mirror images — the analog of the reference's
+  HYB bandwidth split (``tpp:313-401``).
+
+Packed int32 bit layout per (subrow i, lane j):
+  bits 0-6   q      gather lane, at position j = lane_r of the entry
+  bits 7-9   r2     window index, at position j = lane_c (== q)
+  bits 10-16 perm   source lane (lane_r), at position j = lane_c
+  bit  17    valid  transpose-slot occupancy, at position j = lane_c
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils.logging import info
+from .bell2 import (
+    LANES,
+    META_W,
+    SUBLANES,
+    Bell2Plan,
+    build_bell2_plan,
+    group_pad,
+)
+from .coo import COO
+from .csr import CSR
+
+__all__ = ["SBellPlan", "build_sbell_plan", "PAIR_THRESHOLD"]
+
+#: minimum entries on an exact diagonal for paired storage
+PAIR_THRESHOLD = 48
+
+
+@dataclasses.dataclass
+class SBellPlan:
+    nrows: int
+    nnz_full: int
+    diag: np.ndarray  # (nrows,)
+    vals: np.ndarray  # (C, 8, 128)
+    packed: np.ndarray  # (C, 8, 128) int32
+    meta: np.ndarray  # (C, META_W) int32
+    step_block: np.ndarray  # (G,)
+    num_row_tiles: int
+    x_rows: int
+    chunks_per_step: int
+    tiles_per_block: int
+    nnz_paired: int
+    far: Bell2Plan | None
+    transpose_windows: int = 2
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def padding_ratio(self) -> float:
+        slots = self.vals.size + (
+            0 if self.far is None else self.far.vals.size
+        )
+        stored = self.nnz_paired + (0 if self.far is None else self.far.nnz)
+        return slots / max(stored, 1)
+
+    @property
+    def far_fraction(self) -> float:
+        f = 0 if self.far is None else self.far.nnz
+        return f / max(2 * self.nnz_paired + f, 1)
+
+    def stream_bytes(self) -> int:
+        b = self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+        if self.far is not None:
+            b += self.far.stream_bytes()
+        return b + self.diag.nbytes
+
+
+def build_sbell_plan(
+    csr: CSR,
+    *,
+    dtype=np.float32,
+    chunks_per_step: int | None = None,
+    tiles_per_block: int | None = None,
+    pair_threshold: int = PAIR_THRESHOLD,
+    transpose_windows: int | None = None,
+) -> SBellPlan:
+    """Build the paired symmetric plan from lower-triangle CSR storage."""
+    assert csr.symmetric, "SBELL requires symmetric (lower-triangle) CSR"
+    from .bell2 import auto_geometry
+
+    n = csr.nrows
+    auto_k, auto_bt = auto_geometry(n, csr.nnz)
+    K = chunks_per_step or auto_k
+    BT = tiles_per_block or auto_bt
+    T = max(1, -(-n // LANES))
+    x_rows = T
+
+    lower_csr, diag, _ = csr.split_triangle()
+    rowlen = np.diff(lower_csr.indptr)
+    row = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+    col = lower_csr.indices.astype(np.int64)
+    val = np.asarray(lower_csr.data)
+    nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+
+    tile = row >> 7
+    seg = col >> 7
+    off = row - col  # > 0 (strict lower)
+
+    # pairable: same output block AND dense-enough exact diagonal
+    near = (tile // BT) == (seg // BT)
+    dk = tile * (int(off.max()) + 1 if len(off) else 1) + off
+    _, dinv, dcnt = np.unique(dk, return_inverse=True, return_counts=True)
+    pairable = near & (dcnt[dinv] >= pair_threshold)
+
+    far_plan = None
+    fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
+    if len(fr0):
+        far_coo = COO(
+            n, n,
+            np.concatenate([fr0, fc0]).astype(np.int32),
+            np.concatenate([fc0, fr0]).astype(np.int32),
+            np.concatenate([fv0, fv0]).astype(dtype),
+        )
+        far_plan = build_bell2_plan(
+            CSR.from_coo(far_coo), dtype=dtype,
+            chunks_per_step=K, tiles_per_block=BT,
+        )
+
+    row, col, val = row[pairable], col[pairable], val[pairable]
+    tile, seg, off = tile[pairable], seg[pairable], off[pairable]
+    lane_r = row & 127
+    lane_c = col & 127
+    nnz_paired = len(row)
+
+    if nnz_paired == 0:
+        # pure far matrix: reuse the one-sided empty-chunk geometry
+        from .bell2 import _empty_plan
+
+        e = _empty_plan(n, n, T, x_rows, dtype, K, BT)
+        return SBellPlan(
+            n, nnz_full, diag.astype(dtype),
+            e.vals, e.packed, e.meta, e.step_block,
+            T, x_rows, K, BT, 0, far_plan,
+        )
+
+    # --- diagonal-unit packing (shared with bell2's pack_chunks) -------
+    from .bell2 import pack_chunks
+
+    off_adj = off - off.min()
+    unit_key = tile * (int(off_adj.max()) + 1) + off_adj
+    # window cap trades kernel cost (stores unroll statically per window)
+    # against packing density: try 2 (enough for contiguous bands), widen
+    # to 4 when diagonal clusters are scattered (stencils)
+    if transpose_windows is not None:
+        tw = transpose_windows
+        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
+            unit_key, tile, seg, T, max_windows=tw
+        )
+    else:
+        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
+            unit_key, tile, seg, T, max_windows=2
+        )
+        tw = 2
+        slots2 = len(chunk_tiles) * SUBLANES * LANES
+        if slots2 > 1.7 * max(nnz_paired, 1):
+            e4 = pack_chunks(unit_key, tile, seg, T, max_windows=4)
+            if len(e4[3]) * 1.33 < len(chunk_tiles):
+                e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = e4
+                tw = 4
+
+    remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+    meta = np.zeros((C, META_W), np.int32)
+    meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
+    meta[remap, 1] = nwin
+    # window sentinel for unused slots must stay inside the chunk's block
+    # (the transpose store indexes y by window - block*BT): use the block
+    # start tile; padding chunks get their block's sentinel everywhere
+    meta[:, 2:] = (blk_full.astype(np.int32) * BT)[:, None]
+    sent = (chunk_tiles // BT * BT).astype(np.int32)
+    used = np.arange(SUBLANES)[None, :] < np.maximum(nwin, 1)[:, None]
+    meta[remap, 2:] = np.where(used, windows, sent[:, None])
+    step_block = blk_full[::K].copy()
+
+    vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
+    ec = remap[e_chunk]
+    vals_arr[ec, e_sub, lane_r] = val.astype(dtype)
+    pk = np.zeros((C, SUBLANES, LANES), np.int32)
+    q_field = np.zeros((C, SUBLANES, LANES), np.int32)
+    q_field[ec, e_sub, lane_r] = lane_c
+    t_field = np.zeros((C, SUBLANES, LANES), np.int32)
+    t_field[ec, e_sub, lane_c] = (
+        (e_r2 << 7) | (lane_r << 10) | (1 << 17)
+    )
+    pk = q_field | t_field
+
+    plan = SBellPlan(
+        n, nnz_full, diag.astype(dtype),
+        vals_arr, pk, meta, step_block,
+        T, x_rows, K, BT, nnz_paired, far_plan, tw,
+    )
+    info(
+        "sbell: n=%d nnz_full=%d paired=%d far=%d chunks=%d pad=%.2fx",
+        n, nnz_full, nnz_paired,
+        0 if far_plan is None else far_plan.nnz, C, plan.padding_ratio,
+    )
+    return plan

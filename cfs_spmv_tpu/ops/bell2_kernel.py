@@ -1,0 +1,391 @@
+"""Pallas TPU kernels for the BELL2 / SBELL layouts.
+
+Execution layer replacing the reference's kernel set
+(``csr_matrix.tpp:2664-3162``):
+
+- ``bell2_spmv_tiles`` / ``bell2_spmm_tiles``: one-sided streams — per
+  chunk, stack the up-to-eight x windows into an (8, 128) register W,
+  gather x values with a two-step hardware gather (sublane gather through
+  the window table ``r2``, lane gather by ``q = c % 128``), multiply,
+  and sublane-sum into the chunk's row of the resident output block.
+- ``sbell_spmv_tiles`` / ``sbell_spmm_tiles``: paired symmetric — each
+  stored strict-lower nonzero is loaded ONCE and contributes both
+  ``y[r] += v*x[c]`` (row side) and ``y[c] += v*x[r]`` (transpose side:
+  value and own-tile x are lane-permuted onto lane ``c % 128``, then
+  accumulated per window into the same resident output block). The TPU
+  realization of the reference's symmetric traffic halving
+  (``cpu_mv_sym_*``, ``csr_matrix.tpp:2706-3028``) with layout instead
+  of coloring guaranteeing conflict-freedom.
+
+Per-chunk metadata is a blocked SMEM operand (streamed per grid step), so
+matrix size is not limited by SMEM capacity; the only full-array scalar
+prefetch is the (G,) per-step output-block index used by the out spec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANES = 8
+LANES = 128
+META_W = 2 + SUBLANES
+
+__all__ = [
+    "bell2_spmv_tiles",
+    "bell2_spmm_tiles",
+    "sbell_spmv_tiles",
+    "sbell_spmm_tiles",
+]
+
+
+def _stack_windows(x_ref, meta_ref, k):
+    """(8, 128) register of the chunk's x windows."""
+    return jnp.concatenate(
+        [
+            x_ref[pl.ds(meta_ref[0, k, 2 + i], 1), :]
+            for i in range(SUBLANES)
+        ],
+        axis=0,
+    )
+
+
+def _stack_windows_b(x_ref, meta_ref, k, b):
+    return jnp.concatenate(
+        [
+            x_ref[b, pl.ds(meta_ref[0, k, 2 + i], 1), :]
+            for i in range(SUBLANES)
+        ],
+        axis=0,
+    )
+
+
+def _stack_windows_slim(x_ref, meta_ref, k, nwin):
+    """W with only the first ``nwin`` window rows live (rest zeros)."""
+    rows = [
+        x_ref[pl.ds(meta_ref[0, k, 2 + i], 1), :] for i in range(nwin)
+    ]
+    pad = jnp.zeros((SUBLANES - nwin, LANES), x_ref.dtype)
+    return jnp.concatenate(rows + [pad], axis=0)
+
+
+def _stack_windows_slim_b(x_ref, meta_ref, k, b, nwin):
+    rows = [
+        x_ref[b, pl.ds(meta_ref[0, k, 2 + i], 1), :] for i in range(nwin)
+    ]
+    pad = jnp.zeros((SUBLANES - nwin, LANES), x_ref.dtype)
+    return jnp.concatenate(rows + [pad], axis=0)
+
+
+def _gather_x(W, pk):
+    """Two-step gather: x value for every slot of the chunk."""
+    q = pk & 0x7F
+    r2 = (pk >> 7) & 0x7
+    G = jnp.take_along_axis(W, r2, axis=0)
+    return jnp.take_along_axis(G, q, axis=1)
+
+
+def _zero_on_new_block(sb_ref, y_ref):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+
+def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K):
+    _zero_on_new_block(sb_ref, y_ref)
+    for k in range(K):
+        W = _stack_windows(x_ref, meta_ref, k)
+        gathered = _gather_x(W, pk_ref[0, k])
+        contrib = jnp.sum(vals_ref[0, k] * gathered, axis=0, keepdims=True)
+        y_ref[pl.ds(meta_ref[0, k, 0], 1), :] += contrib
+
+
+def _grid_spec(G, K, BT):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, META_W), lambda g, s: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+    )
+
+
+def _grid_spec_mm(G, K, BT, B):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, META_W), lambda g, s: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, BT, LANES), lambda g, s: (0, s[g], 0)
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "interpret"),
+)
+def bell2_spmv_tiles(
+    vals, packed, meta, step_block, x2d,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    interpret: bool = False,
+):
+    """y tiles (T, 128) = A @ x for one BELL2 stream."""
+    C = vals.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0, f"chunk stream not padded to K={K} (C={C})"
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    out = pl.pallas_call(
+        functools.partial(_bell2_kernel, K=K),
+        grid_spec=_grid_spec(G, K, BT),
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * SUBLANES * LANES,
+            bytes_accessed=vals.size * vals.dtype.itemsize
+            + packed.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x2d,
+    )
+    return out[:num_row_tiles]
+
+
+def _bell2_mm_kernel(
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs
+):
+    _zero_on_new_block(sb_ref, y_ref)
+    for k in range(K):
+        pk = pk_ref[0, k]
+        v = vals_ref[0, k]
+        sub = meta_ref[0, k, 0]
+        for b in range(n_rhs):
+            W = _stack_windows_b(x_ref, meta_ref, k, b)
+            gathered = _gather_x(W, pk)
+            contrib = jnp.sum(v * gathered, axis=0, keepdims=True)
+            y_ref[b, pl.ds(sub, 1), :] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "interpret"),
+)
+def bell2_spmm_tiles(
+    vals, packed, meta, step_block, x3d,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    interpret: bool = False,
+):
+    """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
+    C = vals.shape[0]
+    B = x3d.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    out = pl.pallas_call(
+        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B),
+        grid_spec=_grid_spec_mm(G, K, BT, B),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, tiles_padded, LANES), vals.dtype
+        ),
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x3d,
+    )
+    return out[:, :num_row_tiles]
+
+
+def _sbell_transpose_part(pk, v, xw):
+    """Transpose products re-laned onto c % 128 (valid-masked)."""
+    perm = (pk >> 10) & 0x7F
+    valid = ((pk >> 17) & 1).astype(v.dtype)
+    XP = jnp.take_along_axis(
+        jnp.broadcast_to(xw, (SUBLANES, LANES)), perm, axis=1
+    )
+    VP = jnp.take_along_axis(v, perm, axis=1)
+    return VP * XP * valid
+
+
+def _sbell_kernel(
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, BT, TW
+):
+    _zero_on_new_block(sb_ref, y_ref)
+    g = pl.program_id(0)
+    block = sb_ref[g]
+    for k in range(K):
+        pk = pk_ref[0, k]
+        v = vals_ref[0, k]
+        sub_t = meta_ref[0, k, 0]
+
+        # row side: y[r] += v * x[c]
+        W = _stack_windows_slim(x_ref, meta_ref, k, TW)
+        gathered = _gather_x(W, pk)
+        y_ref[pl.ds(sub_t, 1), :] += jnp.sum(
+            v * gathered, axis=0, keepdims=True
+        )
+
+        # transpose side: y[c] += v * x[r], accumulated per window
+        # (static 4-way unroll; unused windows hold an in-block sentinel
+        # and receive only zeros)
+        xw = x_ref[pl.ds(block * BT + sub_t, 1), :]
+        PT = _sbell_transpose_part(pk, v, xw)
+        r2 = (pk >> 7) & 0x7
+        for w in range(TW):
+            mask = (r2 == w).astype(v.dtype)
+            contrib = jnp.sum(PT * mask, axis=0, keepdims=True)
+            sub_u = meta_ref[0, k, 2 + w] - block * BT
+            y_ref[pl.ds(sub_u, 1), :] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "transpose_windows", "interpret"),
+)
+def sbell_spmv_tiles(
+    vals, packed, meta, step_block, x2d,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    transpose_windows: int = 2,
+    interpret: bool = False,
+):
+    """y tiles = (L + Lᵀ) @ x from the paired strict-lower stream."""
+    C = vals.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    out = pl.pallas_call(
+        functools.partial(_sbell_kernel, K=K, BT=BT, TW=transpose_windows),
+        grid_spec=_grid_spec(G, K, BT),
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * C * SUBLANES * LANES,
+            bytes_accessed=vals.size * vals.dtype.itemsize
+            + packed.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x2d,
+    )
+    return out[:num_row_tiles]
+
+
+def _sbell_mm_kernel(
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, BT, TW, n_rhs
+):
+    _zero_on_new_block(sb_ref, y_ref)
+    g = pl.program_id(0)
+    block = sb_ref[g]
+    for k in range(K):
+        pk = pk_ref[0, k]
+        v = vals_ref[0, k]
+        sub_t = meta_ref[0, k, 0]
+        r2 = (pk >> 7) & 0x7
+        for b in range(n_rhs):
+            W = _stack_windows_slim_b(x_ref, meta_ref, k, b, TW)
+            gathered = _gather_x(W, pk)
+            y_ref[b, pl.ds(sub_t, 1), :] += jnp.sum(
+                v * gathered, axis=0, keepdims=True
+            )
+            xw = x_ref[b, pl.ds(block * BT + sub_t, 1), :]
+            PT = _sbell_transpose_part(pk, v, xw)
+            for w in range(TW):
+                mask = (r2 == w).astype(v.dtype)
+                contrib = jnp.sum(PT * mask, axis=0, keepdims=True)
+                sub_u = meta_ref[0, k, 2 + w] - block * BT
+                y_ref[b, pl.ds(sub_u, 1), :] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "transpose_windows", "interpret"),
+)
+def sbell_spmm_tiles(
+    vals, packed, meta, step_block, x3d,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    transpose_windows: int = 2,
+    interpret: bool = False,
+):
+    """Y tiles (B, T, 128) = (L + Lᵀ) @ X from the paired stream."""
+    C = vals.shape[0]
+    B = x3d.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    out = pl.pallas_call(
+        functools.partial(_sbell_mm_kernel, K=K, BT=BT, TW=transpose_windows, n_rhs=B),
+        grid_spec=_grid_spec_mm(G, K, BT, B),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, tiles_padded, LANES), vals.dtype
+        ),
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x3d,
+    )
+    return out[:, :num_row_tiles]

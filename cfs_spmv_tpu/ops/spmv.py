@@ -3,8 +3,8 @@
 This layer is the analog of the reference's ``dense_vector_multiply`` →
 ``spmv_fn`` dispatch (``csr_matrix.hpp:67-70,124``): it owns
 padding/unpadding, backend selection (Pallas on TPU, interpreter on CPU
-test meshes), and composition of streams (main BELL + spill; and for the
-symmetric format: diag + lower + upper).
+test meshes), and composition of streams (paired symmetric + far
+residual + diagonal).
 """
 
 from __future__ import annotations
@@ -16,18 +16,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats.bell import BellPlan
+from ..formats.bell2 import LANES, Bell2Plan
+from ..formats.sbell import SBellPlan
 from ..utils.config import config
-from .bell_kernel import LANES, bell_spmm_tiles, bell_spmv_tiles
-from .xla_ref import coo_spmm_xla, coo_spmv_xla
+from .bell2_kernel import (
+    bell2_spmm_tiles,
+    bell2_spmv_tiles,
+    sbell_spmm_tiles,
+    sbell_spmv_tiles,
+)
 
 __all__ = [
-    "BellDevice",
+    "Bell2Device",
+    "SBellDevice",
     "to_device",
+    "sym_to_device",
     "pad_x",
-    "bell_apply",
-    "bell_apply_mm",
-    "sym_apply",
+    "bell2_apply",
+    "bell2_apply_mm",
+    "sbell_apply",
+    "sbell_apply_mm",
     "use_interpret",
 ]
 
@@ -39,47 +47,50 @@ def use_interpret() -> bool:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class BellDevice:
-    """Device-resident BELL stream (a pytree; static geometry in aux)."""
+class Bell2Device:
+    """Device-resident one-sided BELL2 stream (pytree; static geometry)."""
 
     vals: Any
     packed: Any
-    base: Any
-    chunk_tile: Any
-    spill_row: Any  # (S,) int32 or shape-(0,) placeholder
-    spill_col: Any
-    spill_val: Any
+    meta: Any
+    step_block: Any
     num_row_tiles: int = dataclasses.field(metadata=dict(static=True))
-    x_pad_rows: int = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))
     nrows: int = dataclasses.field(metadata=dict(static=True))
     ncols: int = dataclasses.field(metadata=dict(static=True))
-    chunks_per_step: int = dataclasses.field(
-        default=64, metadata=dict(static=True)
-    )
-    tiles_per_block: int = dataclasses.field(
-        default=128, metadata=dict(static=True)
+    chunks_per_step: int = dataclasses.field(metadata=dict(static=True))
+    tiles_per_block: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SBellDevice:
+    """Device-resident paired symmetric stream + far residual + diag."""
+
+    vals: Any
+    packed: Any
+    meta: Any
+    step_block: Any
+    diag: Any
+    far: Bell2Device | None
+    num_row_tiles: int = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+    chunks_per_step: int = dataclasses.field(metadata=dict(static=True))
+    tiles_per_block: int = dataclasses.field(metadata=dict(static=True))
+    transpose_windows: int = dataclasses.field(
+        default=2, metadata=dict(static=True)
     )
 
 
-def to_device(plan: BellPlan) -> BellDevice:
-    if plan.spill is not None:
-        sr = jnp.asarray(plan.spill.row)
-        sc = jnp.asarray(plan.spill.col)
-        sv = jnp.asarray(plan.spill.val)
-    else:
-        sr = jnp.zeros((0,), jnp.int32)
-        sc = jnp.zeros((0,), jnp.int32)
-        sv = jnp.zeros((0,), plan.vals.dtype)
-    return BellDevice(
+def to_device(plan: Bell2Plan) -> Bell2Device:
+    return Bell2Device(
         vals=jnp.asarray(plan.vals),
         packed=jnp.asarray(plan.packed),
-        base=jnp.asarray(plan.base),
-        chunk_tile=jnp.asarray(plan.chunk_tile),
-        spill_row=sr,
-        spill_col=sc,
-        spill_val=sv,
+        meta=jnp.asarray(plan.meta),
+        step_block=jnp.asarray(plan.step_block),
         num_row_tiles=plan.num_row_tiles,
-        x_pad_rows=plan.x_pad_rows,
+        x_rows=plan.x_rows,
         nrows=plan.nrows,
         ncols=plan.ncols,
         chunks_per_step=plan.chunks_per_step,
@@ -87,70 +98,90 @@ def to_device(plan: BellPlan) -> BellDevice:
     )
 
 
-def pad_x(x: jax.Array, x_pad_rows: int) -> jax.Array:
-    """(m,) → (x_pad_rows, 128) zero-padded window-sliceable layout."""
+def sym_to_device(plan: SBellPlan) -> SBellDevice:
+    return SBellDevice(
+        vals=jnp.asarray(plan.vals),
+        packed=jnp.asarray(plan.packed),
+        meta=jnp.asarray(plan.meta),
+        step_block=jnp.asarray(plan.step_block),
+        diag=jnp.asarray(plan.diag),
+        far=None if plan.far is None else to_device(plan.far),
+        num_row_tiles=plan.num_row_tiles,
+        x_rows=plan.x_rows,
+        nrows=plan.nrows,
+        chunks_per_step=plan.chunks_per_step,
+        tiles_per_block=plan.tiles_per_block,
+        transpose_windows=plan.transpose_windows,
+    )
+
+
+def pad_x(x: jax.Array, x_rows: int) -> jax.Array:
+    """(m,) → (x_rows, 128) zero-padded segment-sliceable layout."""
     m = x.shape[0]
-    total = x_pad_rows * LANES
-    return jnp.pad(x, (0, total - m)).reshape(x_pad_rows, LANES)
+    return jnp.pad(x, (0, x_rows * LANES - m)).reshape(x_rows, LANES)
 
 
-def bell_apply(dev: BellDevice, x: jax.Array) -> jax.Array:
-    """y = A @ x for one BELL stream (+ its spill), unpadded in/out."""
-    x2d = pad_x(x, dev.x_pad_rows)
-    tiles = bell_spmv_tiles(
-        dev.vals, dev.packed, dev.base, dev.chunk_tile, x2d,
+def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
+    """y = A @ x for one BELL2 stream, unpadded in/out."""
+    x2d = pad_x(x, dev.x_rows)
+    tiles = bell2_spmv_tiles(
+        dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
         num_row_tiles=dev.num_row_tiles,
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
     )
-    y = tiles.reshape(-1)[: dev.nrows]
-    if dev.spill_row.shape[0]:
-        y = y + coo_spmv_xla(
-            dev.spill_row, dev.spill_col, dev.spill_val, x,
-            nrows=dev.nrows,
-        )
-    return y
+    return tiles.reshape(-1)[: dev.nrows]
 
 
-def bell_apply_mm(dev: BellDevice, x: jax.Array) -> jax.Array:
-    """Y = A @ X, X: (ncols, B) — multi-RHS version."""
+def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
+    """Y = A @ X, X: (ncols, B)."""
     B = x.shape[1]
-    x2d = jnp.stack(
-        [pad_x(x[:, k], dev.x_pad_rows) for k in range(B)], axis=0
-    )
-    tiles = bell_spmm_tiles(
-        dev.vals, dev.packed, dev.base, dev.chunk_tile, x2d,
+    x3d = jnp.stack([pad_x(x[:, b], dev.x_rows) for b in range(B)])
+    tiles = bell2_spmm_tiles(
+        dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
         num_row_tiles=dev.num_row_tiles,
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
-    )  # (B, T, 128)
-    y = tiles.reshape(B, -1)[:, : dev.nrows].T
-    if dev.spill_row.shape[0]:
-        y = y + coo_spmm_xla(
-            dev.spill_row, dev.spill_col, dev.spill_val, x,
-            nrows=dev.nrows,
-        )
-    return y
+    )
+    return tiles.reshape(B, -1)[:, : dev.nrows].T
 
 
-def sym_apply(
-    lower: BellDevice, upper: BellDevice, diag: jax.Array, x: jax.Array
-) -> jax.Array:
-    """Symmetric SpMV: y = D x + L x + Lᵀ x.
+def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
+    """Symmetric y = (D + L + Lᵀ) x via the paired stream.
 
     Scatter-free replacement for the reference's conflict-free symmetric
-    kernels (``cpu_mv_sym_conflict_free_v2``, ``csr_matrix.tpp:2965-3028``):
-    the transpose fold-in is a second row-major BELL stream over Lᵀ instead
-    of a color-phased ``y[col] +=`` scatter.
+    kernels (``cpu_mv_sym_conflict_free_v2``, ``csr_matrix.tpp:
+    2965-3028``), with each stored value driving both contributions.
     """
-    return diag * x + bell_apply(lower, x) + bell_apply(upper, x)
-
-
-def sym_apply_mm(
-    lower: BellDevice, upper: BellDevice, diag: jax.Array, x: jax.Array
-) -> jax.Array:
-    return (
-        diag[:, None] * x + bell_apply_mm(lower, x) + bell_apply_mm(upper, x)
+    x2d = pad_x(x, dev.x_rows)
+    tiles = sbell_spmv_tiles(
+        dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
+        num_row_tiles=dev.num_row_tiles,
+        chunks_per_step=dev.chunks_per_step,
+        tiles_per_block=dev.tiles_per_block,
+        transpose_windows=dev.transpose_windows,
+        interpret=use_interpret(),
     )
+    y = tiles.reshape(-1)[: dev.nrows] + dev.diag * x
+    if dev.far is not None:
+        y = y + bell2_apply(dev.far, x)
+    return y
+
+
+def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
+    B = x.shape[1]
+    x3d = jnp.stack([pad_x(x[:, b], dev.x_rows) for b in range(B)])
+    tiles = sbell_spmm_tiles(
+        dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
+        num_row_tiles=dev.num_row_tiles,
+        chunks_per_step=dev.chunks_per_step,
+        tiles_per_block=dev.tiles_per_block,
+        transpose_windows=dev.transpose_windows,
+        interpret=use_interpret(),
+    )
+    y = tiles.reshape(B, -1)[:, : dev.nrows].T + dev.diag[:, None] * x
+    if dev.far is not None:
+        y = y + bell2_apply_mm(dev.far, x)
+    return y

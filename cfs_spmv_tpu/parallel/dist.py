@@ -3,24 +3,27 @@
 TPU-native replacement for the reference's shared-memory thread
 parallelism (OpenMP row ranges + conflict-free coloring,
 ``csr_matrix.tpp:403-541, 1204-1639``): matrix rows are sharded across
-devices in contiguous 128-row-tile ranges balanced by nonzero count
-(``partition_by_nnz`` analog, ``tpp:437-541``); each device runs the BELL
-kernel on its shard against the full x vector obtained with one
-``all_gather`` over the mesh — the collective replacement for the
-reference's shared read-only x. Symmetric matrices shard the lower and
-the transposed-upper streams by the *same* row ranges, so every device
-produces exactly its own y segment and no cross-device scatter or psum
-is needed (the conflict-free property, achieved by layout).
+devices in contiguous, block-aligned 128-row-tile ranges balanced by
+nonzero count (``partition_by_nnz`` analog, ``tpp:437-541``).
 
-The all-gather is the current halo strategy (full replication); the
-overlapped segment-wise halo exchange of BASELINE config 4 is the next
-refinement step.
+Communication structure mirrors the reference's HYB low/high-bandwidth
+split (``split_by_bandwidth``, ``tpp:313-401``) at pod scale:
+
+- the *paired symmetric near stream* (entries whose row and column live
+  in the same output block, hence the same shard) reads only the
+  device's own x segment — NO communication at all;
+- only the *far stream* (plus general asymmetric matrices) needs the
+  full x, obtained with one ``all_gather`` over the mesh — the
+  collective replacement for the reference's shared read-only x.
+
+Each device produces exactly its own y rows, so there is no cross-device
+scatter or psum: conflict-freedom by partition, as in the paper, but
+enforced by layout instead of coloring.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +35,10 @@ try:  # moved out of experimental in newer jax
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..formats.bell import LANES, BellPlan, build_bell_plan
+from ..formats.bell2 import LANES, META_W, Bell2Plan, build_bell2_plan
+from ..formats.coo import COO
 from ..formats.csr import CSR
+from ..formats.sbell import build_sbell_plan
 from ..tuning.partition import (
     estimate_imbalance,
     partition_tiles_by_nnz,
@@ -45,95 +50,68 @@ from .mesh import ROWS_AXIS
 __all__ = ["DistSpDMV", "shard_csr_rows"]
 
 
-def _slice_csr_rows(csr: CSR, r0: int, r1: int) -> CSR:
-    """Rows [r0, r1) as a local CSR (local row ids, global columns)."""
+def _slice_csr_rows(csr: CSR, r0: int, r1: int, pad_rows: int) -> CSR:
+    """Rows [r0, r1) as a local CSR padded to ``pad_rows`` rows."""
     p0, p1 = csr.indptr[r0], csr.indptr[r1]
-    return CSR(
-        r1 - r0,
-        csr.ncols,
-        (csr.indptr[r0 : r1 + 1] - p0).astype(np.int64),
-        csr.indices[p0:p1],
-        csr.data[p0:p1],
-        False,
-    )
+    indptr = (csr.indptr[r0 : r1 + 1] - p0).astype(np.int64)
+    indptr = np.pad(indptr, (0, pad_rows - (r1 - r0)), mode="edge")
+    return CSR(pad_rows, csr.ncols, indptr, csr.indices[p0:p1],
+               csr.data[p0:p1], csr.symmetric)
 
 
-def shard_csr_rows(csr: CSR, ndev: int) -> tuple[list[CSR], np.ndarray]:
-    """Equal-nnz contiguous row-tile shards (ref ``tpp:437-541``)."""
+def shard_csr_rows(csr: CSR, ndev: int, align_tiles: int = 1):
+    """Equal-nnz contiguous row-tile shard bounds (ref ``tpp:437-541``),
+    aligned to ``align_tiles`` tiles."""
     T = max(1, -(-csr.nrows // LANES))
     hist = tile_nnz_histogram(csr.indptr, T)
     bounds = partition_tiles_by_nnz(hist, ndev)
-    shards = []
-    for d in range(ndev):
-        r0 = int(bounds[d]) * LANES
-        r1 = min(int(bounds[d + 1]) * LANES, csr.nrows)
-        r0 = min(r0, csr.nrows)
-        shards.append(_slice_csr_rows(csr, r0, r1))
-    work = np.array([s.nnz for s in shards])
+    if align_tiles > 1:
+        bounds = (np.round(bounds / align_tiles) * align_tiles).astype(
+            np.int64
+        )
+        np.maximum.accumulate(bounds, out=bounds)
+        bounds = np.minimum(bounds, T)
+        bounds[0], bounds[-1] = 0, T
+    work = [
+        int(hist[bounds[d] : bounds[d + 1]].sum()) for d in range(ndev)
+    ]
     info(
         "shard: %d devices, nnz/dev %s, imbalance %.3f",
-        ndev, work.tolist(), estimate_imbalance(work),
+        ndev, work, estimate_imbalance(np.maximum(work, 1)),
     )
-    return shards, bounds
+    return bounds
 
 
-def _pad_plan_arrays(plans: list[BellPlan], dtype):
-    """Stack per-device plans into uniform (D, ...) arrays."""
+def _pad_bell2(plans: list[Bell2Plan], dtype):
+    """Stack per-device BELL2 plans into uniform (D, ...) arrays."""
     K = plans[0].chunks_per_step
     C_max = max(p.num_chunks for p in plans)
-    C_max = -(-C_max // K) * K
-    S_max = max(
-        (0 if p.spill is None else p.spill.nnz) for p in plans
-    )
-    vals, packed, base, ctile = [], [], [], []
-    s_row, s_col, s_val = [], [], []
+    C_max = max(-(-C_max // K) * K, K)
+    vals, qidx, meta, steps = [], [], [], []
+    G_max = C_max // K
     for p in plans:
         pad = C_max - p.num_chunks
         vals.append(np.pad(p.vals, ((0, pad), (0, 0), (0, 0))))
-        packed.append(np.pad(p.packed, ((0, pad), (0, 0), (0, 0))))
-        base.append(np.pad(p.base, (0, pad)))
-        last_tile = p.chunk_tile[-1] if len(p.chunk_tile) else 0
-        ctile.append(
-            np.pad(p.chunk_tile, (0, pad), constant_values=last_tile)
-        )
-        sn = 0 if p.spill is None else p.spill.nnz
-        sp = S_max - sn
-        if p.spill is None:
-            s_row.append(np.zeros(S_max, np.int32))
-            s_col.append(np.zeros(S_max, np.int32))
-            s_val.append(np.zeros(S_max, dtype))
-        else:
-            s_row.append(np.pad(p.spill.row, (0, sp)))
-            s_col.append(np.pad(p.spill.col, (0, sp)))
-            s_val.append(np.pad(p.spill.val.astype(dtype), (0, sp)))
-    return (
-        np.stack(vals), np.stack(packed), np.stack(base), np.stack(ctile),
-        np.stack(s_row), np.stack(s_col), np.stack(s_val),
-    )
-
-
-@dataclasses.dataclass
-class _ShardMeta:
-    row0: int  # global first row
-    nrows: int  # real rows of this shard
-    num_row_tiles: int
+        qidx.append(np.pad(p.packed, ((0, pad), (0, 0), (0, 0))))
+        meta.append(np.pad(p.meta, ((0, pad), (0, 0))))
+        sb = p.step_block
+        last = sb[-1] if len(sb) else 0
+        steps.append(np.pad(sb, (0, G_max - len(sb)), constant_values=last))
+    return (np.stack(vals), np.stack(qidx), np.stack(meta), np.stack(steps))
 
 
 class DistSpDMV:
     """Mesh-parallel SpDMV functor (the multi-chip ``SpDMV`` analog).
 
-    Construction = preprocessing (partition + per-shard BELL planning +
-    device placement), call = y = A @ x, mirroring the reference kernel
-    API semantics (``sparse_kernel.hpp:17-27``) at pod scale.
+    Construction = preprocessing (partition + per-shard planning + device
+    placement), call = y = A @ x, mirroring the reference kernel API
+    (``sparse_kernel.hpp:17-27``) at pod scale.
     """
 
     def __init__(self, A, mesh, *, dtype=np.float32):
         from ..matrix import SparseMatrix
 
-        if isinstance(A, SparseMatrix):
-            csr = A.csr
-        else:
-            csr = A
+        csr = A.csr if isinstance(A, SparseMatrix) else A
         self.mesh = mesh
         self.ndev = mesh.shape[ROWS_AXIS]
         self.nrows = csr.nrows
@@ -141,164 +119,290 @@ class DistSpDMV:
         self.symmetric = csr.symmetric
         self.dtype = np.dtype(dtype)
 
+        T = max(1, -(-csr.nrows // LANES))
+        # output-block size adapts down for tiny (test) matrices
+        tiles_per_dev = max(1, T // max(self.ndev, 1))
+        self.BT = 8
+        while self.BT * 2 <= min(128, tiles_per_dev):
+            self.BT *= 2
+        self.K = 16 if T < 64 else 128
+
         if csr.symmetric:
-            lower, diag, _ = csr.split_triangle()
-            upper = lower.transpose()
-            # balance on combined per-tile work of both streams
-            T = max(1, -(-csr.nrows // LANES))
-            hist = tile_nnz_histogram(lower.indptr, T) + tile_nnz_histogram(
-                upper.indptr, T
-            )
-            bounds = partition_tiles_by_nnz(hist, self.ndev)
-            self.nnz_full = 2 * lower.nnz + int(np.count_nonzero(diag))
+            self._init_symmetric(csr)
         else:
-            lower, diag, upper = csr, None, None
-            T = max(1, -(-csr.nrows // LANES))
-            hist = tile_nnz_histogram(lower.indptr, T)
-            bounds = partition_tiles_by_nnz(hist, self.ndev)
-            self.nnz_full = csr.nnz
-
-        self.bounds = bounds
-        metas, lo_plans, up_plans, diags = [], [], [], []
-        T_max = max(
-            int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)
-        )
-        T_max = max(T_max, 1)
-        self.shard_rows = T_max * LANES
-        for d in range(self.ndev):
-            r0 = min(int(bounds[d]) * LANES, csr.nrows)
-            r1 = min(int(bounds[d + 1]) * LANES, csr.nrows)
-            lo_shard = _slice_csr_rows(lower, r0, r1)
-            # pad shard to uniform tile count for stacking
-            lo_shard.nrows = self.shard_rows
-            lo_shard.indptr = np.pad(
-                lo_shard.indptr,
-                (0, self.shard_rows - (r1 - r0)),
-                mode="edge",
-            )
-            lo_plans.append(build_bell_plan(lo_shard, dtype=dtype))
-            if upper is not None:
-                up_shard = _slice_csr_rows(upper, r0, r1)
-                up_shard.nrows = self.shard_rows
-                up_shard.indptr = np.pad(
-                    up_shard.indptr,
-                    (0, self.shard_rows - (r1 - r0)),
-                    mode="edge",
-                )
-                up_plans.append(build_bell_plan(up_shard, dtype=dtype))
-            if diag is not None:
-                dg = np.zeros(self.shard_rows, dtype)
-                dg[: r1 - r0] = diag[r0:r1]
-                diags.append(dg)
-            metas.append(_ShardMeta(r0, r1 - r0, T_max))
-
-        self.metas = metas
-        self.x_pad_rows = lo_plans[0].x_pad_rows
-        self._lo = _pad_plan_arrays(lo_plans, self.dtype)
-        self._up = _pad_plan_arrays(up_plans, self.dtype) if up_plans else None
-        self._diag = np.stack(diags) if diags else None
+            self._init_general(csr)
         self._place()
         self._fn = self._build()
 
-    # --- device placement ---------------------------------------------
+    # ------------------------------------------------------------------
+    def _init_general(self, csr: CSR):
+        bounds = shard_csr_rows(csr, self.ndev, align_tiles=1)
+        T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
+        self.shard_rows = T_max * LANES
+        self.nnz_full = csr.nnz
+        plans = []
+        for d in range(self.ndev):
+            r0 = min(int(bounds[d]) * LANES, csr.nrows)
+            r1 = min(int(bounds[d + 1]) * LANES, csr.nrows)
+            shard = _slice_csr_rows(csr, r0, r1, self.shard_rows)
+            shard.symmetric = False
+            plans.append(
+                build_bell2_plan(
+                    shard, dtype=self.dtype,
+                    chunks_per_step=self.K, tiles_per_block=self.BT,
+                )
+            )
+        self.bounds = bounds
+        self.real = [
+            (min(int(bounds[d]) * LANES, csr.nrows),
+             min(int(bounds[d + 1]) * LANES, csr.nrows)
+             - min(int(bounds[d]) * LANES, csr.nrows))
+            for d in range(self.ndev)
+        ]
+        self._far = _pad_bell2(plans, self.dtype)
+        self._far_tiles = T_max
+        self._x_rows_full = plans[0].x_rows
+        self._paired = None
+        self._diag = None
+
+    # ------------------------------------------------------------------
+    def _init_symmetric(self, csr: CSR):
+        lower, diag, _ = csr.split_triangle()
+        rowlen = np.diff(lower.indptr)
+        row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+        col = lower.indices.astype(np.int64)
+        val = np.asarray(lower.data)
+        self.nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+
+        # balance on total work per tile (both triangles)
+        T = max(1, -(-csr.nrows // LANES))
+        hist = tile_nnz_histogram(lower.indptr, T)
+        histT = np.zeros(T, np.int64)
+        np.add.at(histT, col >> 7, 1)
+        bounds = partition_tiles_by_nnz(hist + histT, self.ndev)
+        BT = self.BT
+        bounds = (np.round(bounds / BT) * BT).astype(np.int64)
+        np.maximum.accumulate(bounds, out=bounds)
+        bounds = np.minimum(bounds, -(-csr.nrows // LANES))
+        bounds[0] = 0
+        bounds[-1] = -(-csr.nrows // LANES)
+        self.bounds = bounds
+
+        T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
+        self.shard_rows = T_max * LANES
+        self.real = [
+            (min(int(bounds[d]) * LANES, csr.nrows),
+             min(int(bounds[d + 1]) * LANES, csr.nrows)
+             - min(int(bounds[d]) * LANES, csr.nrows))
+            for d in range(self.ndev)
+        ]
+
+        tile = row >> 7
+        seg = col >> 7
+        near = (tile // BT) == (seg // BT)
+
+        paired_plans, far_plans, diags = [], [], []
+        for d in range(self.ndev):
+            r0, nr = self.real[d]
+            r1 = r0 + nr
+            in_shard = (row >= r0) & (row < r1)
+            ns = in_shard & near
+            fs = in_shard & ~near
+            # near: fully local coordinates
+            ncoo = COO(
+                self.shard_rows, self.shard_rows,
+                (row[ns] - r0).astype(np.int32),
+                (col[ns] - r0).astype(np.int32),
+                val[ns].astype(self.dtype),
+                symmetric=True,
+            )
+            paired_plans.append(
+                build_sbell_plan(
+                    CSR.from_coo(ncoo), dtype=self.dtype,
+                    chunks_per_step=self.K, tiles_per_block=BT,
+                    transpose_windows=2,
+                )
+            )
+            # far: local rows, global cols, one-sided — this shard owns
+            # rows of both mirror images that fall in [r0, r1)
+            mr = np.concatenate([row[fs], col[~near & (col >= r0) & (col < r1)]])
+            mc = np.concatenate([col[fs], row[~near & (col >= r0) & (col < r1)]])
+            mv = np.concatenate([val[fs], val[~near & (col >= r0) & (col < r1)]])
+            fcoo = COO(
+                self.shard_rows, csr.ncols,
+                (mr - r0).astype(np.int32), mc.astype(np.int32),
+                mv.astype(self.dtype),
+            )
+            far_plans.append(
+                build_bell2_plan(
+                    CSR.from_coo(fcoo), dtype=self.dtype,
+                    chunks_per_step=self.K, tiles_per_block=BT,
+                )
+            )
+            dg = np.zeros(self.shard_rows, self.dtype)
+            dg[:nr] = diag[r0:r1]
+            diags.append(dg)
+
+        # stack paired streams
+        K = self.K
+        C_max = max(p.num_chunks for p in paired_plans)
+        C_max = max(-(-C_max // K) * K, K)
+        G_max = C_max // K
+        pv, pp, pm, ps = [], [], [], []
+        for p in paired_plans:
+            pad = C_max - p.num_chunks
+            pv.append(np.pad(p.vals, ((0, pad), (0, 0), (0, 0))))
+            pp.append(np.pad(p.packed, ((0, pad), (0, 0), (0, 0))))
+            # padding chunk segs must stay in-block for the transpose
+            # store: use the last step's block start as sentinel
+            mpad = np.zeros((pad, META_W), np.int32)
+            if pad:
+                last_blk = p.step_block[-1] if len(p.step_block) else 0
+                mpad[:, 2:] = last_blk * self.BT
+            pm.append(np.concatenate([p.meta, mpad]))
+            sb = p.step_block
+            last = sb[-1] if len(sb) else 0
+            ps.append(np.pad(sb, (0, G_max - len(sb)), constant_values=last))
+            # the paired plan's internal far residual (greedy leftovers)
+            # stays a separate local one-sided stream
+        self._paired = (np.stack(pv), np.stack(pp), np.stack(pm), np.stack(ps))
+        self._paired_far = [p.far for p in paired_plans]
+        self._far = _pad_bell2(far_plans, self.dtype)
+        self._far_tiles = T_max
+        self._x_rows_full = far_plans[0].x_rows
+        self._diag = np.stack(diags)
+
+        # stack paired-internal far residuals (local coords) if any
+        if any(f is not None for f in self._paired_far):
+            residuals = [
+                f if f is not None else _empty_like_bell2(
+                    self.shard_rows, self.shard_rows, self.dtype,
+                    self.K, self.BT,
+                )
+                for f in self._paired_far
+            ]
+            self._pfar = _pad_bell2(residuals, self.dtype)
+        else:
+            self._pfar = None
+
+    # ------------------------------------------------------------------
     def _place(self):
         sharded = NamedSharding(self.mesh, P(ROWS_AXIS))
+
         def put(arrs):
-            return tuple(jax.device_put(jnp.asarray(a), sharded) for a in arrs)
-        self._lo = put(self._lo)
-        if self._up is not None:
-            self._up = put(self._up)
+            return tuple(
+                jax.device_put(jnp.asarray(a), sharded) for a in arrs
+            )
+
+        self._far = put(self._far)
+        if self._paired is not None:
+            self._paired = put(self._paired)
+        if getattr(self, "_pfar", None) is not None:
+            self._pfar = put(self._pfar)
         if self._diag is not None:
             (self._diag,) = put((self._diag,))
 
-    # --- jitted program ------------------------------------------------
+    # ------------------------------------------------------------------
     def _build(self):
-        from ..ops.bell_kernel import bell_spmv_tiles
+        from ..ops.bell2_kernel import bell2_spmv_tiles, sbell_spmv_tiles
         from ..ops.spmv import use_interpret
 
         ndev = self.ndev
         S = self.shard_rows
         n = self.nrows
-        Kt = self.metas[0].num_row_tiles
-        x_pad_rows = self.x_pad_rows
         interpret = use_interpret()
-        sym = self._up is not None
-        real = [(m.row0, m.nrows) for m in self.metas]
-        plan0_k = None
+        sym = self._paired is not None
+        real = self.real
+        K, BT = self.K, self.BT
+        T_loc = self._far_tiles
+        x_rows_full = self._x_rows_full
+        x_rows_loc = S // LANES
+        pfar = getattr(self, "_pfar", None)
 
-        def local_bell(arrs, x2d):
-            # shard_map keeps the (length-1) leading device dim; drop it
-            vals, packed, base, ctile, sr, sc, sv = (a[0] for a in arrs)
-            tiles = bell_spmv_tiles(
-                vals, packed, base, ctile, x2d,
-                num_row_tiles=Kt,
-                interpret=interpret,
+        def one_sided(arrs, x2d, tiles):
+            vals, qidx, meta, steps = (a[0] for a in arrs)
+            out = bell2_spmv_tiles(
+                vals, qidx, meta, steps, x2d,
+                num_row_tiles=tiles, chunks_per_step=K,
+                tiles_per_block=BT, interpret=interpret,
             )
-            y = tiles.reshape(-1)[:S]
-            # spill (scattered stream), cheap when tuner kept it small
-            prod = sv * jnp.take(x2d.reshape(-1), sc, axis=0)
-            y = y + jnp.zeros((S,), y.dtype).at[sr].add(prod)
-            return y
+            return out.reshape(-1)[:S]
 
-        def shard_fn(lo, up, diag, x_sh):
-            x_loc = x_sh[0]  # (S,) this device's padded x segment
+        def shard_fn(far, paired, pfar_arrs, diag, x_sh):
+            x_loc = x_sh[0]
+            y = jnp.zeros((S,), x_loc.dtype)
+            if sym:
+                pv, pp, pm, ps = (a[0] for a in paired)
+                x2d_loc = x_loc.reshape(x_rows_loc, LANES)
+                tiles = sbell_spmv_tiles(
+                    pv, pp, pm, ps, x2d_loc,
+                    num_row_tiles=T_loc, chunks_per_step=K,
+                    tiles_per_block=BT, transpose_windows=2,
+                    interpret=interpret,
+                )
+                y = y + tiles.reshape(-1)[:S] + diag[0] * x_loc
+                if pfar_arrs is not None:
+                    y = y + one_sided(pfar_arrs, x2d_loc, T_loc)
+            # far/general stream needs full x
             xg = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=False)
             parts = [xg[d, : real[d][1]] for d in range(ndev)]
             x_full = jnp.concatenate(parts)[:n] if ndev > 1 else parts[0]
-            pad_len = x_pad_rows * LANES - x_full.shape[0]
-            x2d = jnp.pad(x_full, (0, pad_len)).reshape(x_pad_rows, LANES)
-            y = local_bell(lo, x2d)
-            if sym:
-                y = y + local_bell(up, x2d) + diag[0] * x_loc
+            pad_len = x_rows_full * LANES - x_full.shape[0]
+            x2d_full = jnp.pad(x_full, (0, pad_len)).reshape(
+                x_rows_full, LANES
+            )
+            y = y + one_sided(far, x2d_full, T_loc)
             return y[None]
 
         in_specs = (
             P(ROWS_AXIS),
             P(ROWS_AXIS) if sym else None,
+            P(ROWS_AXIS) if (sym and pfar is not None) else None,
             P(ROWS_AXIS) if sym else None,
             P(ROWS_AXIS),
         )
-
         smapped = shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=P(ROWS_AXIS),
+            # pallas_call out_shapes carry no vma annotation
             check_vma=False,
         )
 
         @jax.jit
-        def run(lo, up, diag, x):
-            # split global x into padded equal shards (D, S)
+        def run(far, paired, pfar_a, diag, x):
             segs = []
+            xp = jnp.pad(x, (0, S))
             for d in range(ndev):
                 r0, nr = real[d]
-                seg = jax.lax.dynamic_slice_in_dim(
-                    jnp.pad(x, (0, S)), r0, S
-                )
-                mask = jnp.arange(S) < nr
-                segs.append(jnp.where(mask, seg, 0))
+                seg = jax.lax.dynamic_slice_in_dim(xp, r0, S)
+                segs.append(jnp.where(jnp.arange(S) < nr, seg, 0))
             x_sh = jnp.stack(segs)
-            y_sh = run_inner(lo, up, diag, x_sh)
+            y_sh = smapped(far, paired, pfar_a, diag, x_sh)
             outs = [y_sh[d, : real[d][1]] for d in range(ndev)]
             return jnp.concatenate(outs)[:n]
 
-        def run_inner(lo, up, diag, x_sh):
-            lo_in = tuple(a for a in lo)
-            if sym:
-                return smapped(lo_in, self._up_tuple(up), diag, x_sh)
-            return smapped(lo_in, None, None, x_sh)
-
         return run
-
-    @staticmethod
-    def _up_tuple(up):
-        return tuple(a for a in up)
 
     def __call__(self, x):
         x = jnp.asarray(x, self.dtype)
         if x.shape != (self.ncols,):
-            raise ValueError(
-                f"x must be ({self.ncols},), got {x.shape}"
-            )
-        return self._fn(self._lo, self._up, self._diag, x)
+            raise ValueError(f"x must be ({self.ncols},), got {x.shape}")
+        return self._fn(
+            self._far, self._paired, getattr(self, "_pfar", None),
+            self._diag, x,
+        )
+
+
+def _empty_like_bell2(nrows, ncols, dtype, K, BT):
+    from ..formats.bell2 import build_bell2_plan as _b
+
+    empty = CSR(
+        nrows, ncols,
+        np.zeros(nrows + 1, np.int64),
+        np.zeros(0, np.int32),
+        np.zeros(0, dtype),
+        False,
+    )
+    return _b(empty, dtype=dtype, chunks_per_step=K, tiles_per_block=BT)

@@ -2,12 +2,9 @@
 
 Analog of ``CSRMatrix::tune()`` (``csr_matrix.tpp:230-310``), which
 orchestrates partition → HYB split → symmetry compression → kernel
-binding. Here the pipeline is: triangle split (symmetric) → BELL layout
-with window assignment (which *implies* the HYB split via spilling) →
+binding. Here the pipeline is: triangle split (symmetric) → BELL2/SBELL
+layout construction (the far-stream split subsumes the HYB decision) →
 device upload → apply-function binding.
-
-Improvement over the reference (SURVEY §5 checkpoint gap): tuned plans are
-pure NumPy pytrees and can be cached to disk via ``plan_cache``.
 """
 
 from __future__ import annotations
@@ -17,12 +14,11 @@ from typing import Callable
 
 import numpy as np
 
-from ..formats.bell import BellPlan, build_bell_plan
+from ..formats.bell2 import build_bell2_plan
 from ..formats.csr import CSR
-from ..formats.sss import SSSPlan, build_sss_plan
+from ..formats.sbell import build_sbell_plan
 from ..ops import spmv as spmv_ops
-from ..utils.config import config
-from ..utils.logging import info, warn
+from ..utils.logging import info
 from ..utils.platform import Format, Kernel, Tuning
 
 __all__ = ["TunedMatrix", "tune"]
@@ -42,10 +38,10 @@ class TunedMatrix:
     ncols: int
     nnz_full: int
     symmetric: bool
-    plan: object  # BellPlan | SSSPlan
+    plan: object
     _matvec: Callable
     _matmat: Callable
-    spill_fraction: float
+    spill_fraction: float  # far-stream fraction for symmetric plans
     padding_ratio: float
 
     def matvec(self, x):
@@ -71,7 +67,10 @@ def tune(
     Format selection mirrors the reference factory
     (``sparse_matrix.tpp:14-24``): ``SSS``/``HYB`` require symmetric
     storage; ``NONE`` auto-picks SSS for symmetric matrices under
-    aggressive tuning, else general BELL (the tuned-CSR analog).
+    aggressive tuning, else general BELL2 (the tuned-CSR analog).
+    ``Tuning.NONE`` on a symmetric matrix expands it and runs the
+    one-sided kernel (the untuned-oracle path of the reference's
+    differential tests, ``test_spmv_mmf.cpp:85-89``).
     """
     del kernel  # SpDMV/SpDMM share plans; both appliers are bound below
     if fmt == Format.NONE:
@@ -83,53 +82,42 @@ def tune(
     if fmt in (Format.SSS, Format.HYB) and not csr.symmetric:
         raise ValueError(f"format {fmt} requires a symmetric matrix")
 
-    if fmt in (Format.SSS, Format.HYB):
-        plan = build_sss_plan(csr, dtype=dtype)
-        lo = spmv_ops.to_device(plan.lower)
-        up = spmv_ops.to_device(plan.upper)
-        import jax.numpy as jnp
+    if fmt in (Format.SSS, Format.HYB) and tuning == Tuning.AGGRESSIVE:
+        plan = build_sbell_plan(csr, dtype=dtype)
+        dev = spmv_ops.sym_to_device(plan)
 
-        diag = jnp.asarray(plan.diag)
+        def matvec(x, dev=dev):
+            return spmv_ops.sbell_apply(dev, x)
 
-        def matvec(x, lo=lo, up=up, diag=diag):
-            return spmv_ops.sym_apply(lo, up, diag, x)
-
-        def matmat(x, lo=lo, up=up, diag=diag):
-            return spmv_ops.sym_apply_mm(lo, up, diag, x)
+        def matmat(x, dev=dev):
+            return spmv_ops.sbell_apply_mm(dev, x)
 
         tuned = TunedMatrix(
             fmt, csr.nrows, csr.ncols, plan.nnz_full, True, plan,
-            matvec, matmat, plan.spill_fraction,
-            (plan.lower.padding_ratio + plan.upper.padding_ratio) / 2,
+            matvec, matmat, plan.far_fraction, plan.padding_ratio,
         )
-    elif fmt in (Format.CSR, Format.BELL, Format.COO):
+    elif fmt in (Format.CSR, Format.BELL, Format.COO, Format.SSS, Format.HYB):
         src = csr.to_coo().expand_symmetric() if csr.symmetric else None
         gen_csr = CSR.from_coo(src) if src is not None else csr
-        plan = build_bell_plan(gen_csr, dtype=dtype)
+        plan = build_bell2_plan(gen_csr, dtype=dtype)
         dev = spmv_ops.to_device(plan)
 
         def matvec(x, dev=dev):
-            return spmv_ops.bell_apply(dev, x)
+            return spmv_ops.bell2_apply(dev, x)
 
         def matmat(x, dev=dev):
-            return spmv_ops.bell_apply_mm(dev, x)
+            return spmv_ops.bell2_apply_mm(dev, x)
 
         tuned = TunedMatrix(
             Format.CSR, gen_csr.nrows, gen_csr.ncols, gen_csr.nnz,
             csr.symmetric, plan, matvec, matmat,
-            plan.spill_fraction, plan.padding_ratio,
+            0.0, plan.padding_ratio,
         )
     else:
         raise NotImplementedError(f"format {fmt}")
 
-    if tuned.spill_fraction > config.spill_warn_fraction:
-        warn(
-            "spill fraction %.3f exceeds %.3f — matrix is a poor fit for "
-            "the banded layout; scattered-stream path will dominate",
-            tuned.spill_fraction, config.spill_warn_fraction,
-        )
     info(
-        "tune: fmt=%s nnz=%d pad=%.2fx spill=%.4f",
+        "tune: fmt=%s nnz=%d pad=%.2fx far=%.4f",
         tuned.format, tuned.nnz_full, tuned.padding_ratio,
         tuned.spill_fraction,
     )

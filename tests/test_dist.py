@@ -23,10 +23,16 @@ def mesh8():
 def test_shard_balance():
     coo = COO.random(2000, 2000, 8.0, bandwidth=100, seed=0)
     csr = CSR.from_coo(coo)
-    shards, bounds = shard_csr_rows(csr, 4)
-    assert sum(s.nnz for s in shards) == csr.nnz
+    bounds = shard_csr_rows(csr, 4)
     assert len(bounds) == 5 and bounds[0] == 0
-    work = np.array([s.nnz for s in shards])
+    T = -(-csr.nrows // 128)
+    assert bounds[-1] == T
+    from cfs_spmv_tpu.tuning.partition import tile_nnz_histogram
+
+    hist = tile_nnz_histogram(csr.indptr, T)
+    work = np.array(
+        [hist[bounds[d] : bounds[d + 1]].sum() for d in range(4)]
+    )
     assert work.max() / work.mean() < 1.5  # tile-aligned balance
 
 
