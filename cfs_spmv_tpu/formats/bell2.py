@@ -110,9 +110,10 @@ def auto_geometry(nrows: int, nnz: int) -> tuple[int, int]:
         K = 32
     else:
         K = 8
-    BT = 8
-    while BT * 2 <= min(128, T):
-        BT *= 2
+    # output block: whole y when it fits VMEM comfortably (BT tiles x
+    # 512 B; 8192 tiles = 4 MB block = 1M rows). A single block removes
+    # block-boundary far entries for the symmetric paired stream.
+    BT = min(-(-T // 8) * 8, 8192)
     return K, BT
 
 
@@ -163,7 +164,8 @@ def plan_units(row, col, nnz, diag_threshold=DIAG_THRESHOLD):
     return unit_key, tile, lane, q, seg
 
 
-def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES):
+def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
+                ensure_tiles=True):
     """Assign (chunk, subrow) to each unit and windows to each chunk.
 
     Greedy scan of a tile's units in key order: a unit joins the current
@@ -262,7 +264,7 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES):
     present = np.zeros(T, bool)
     if C0:
         present[chunk_tiles] = True
-    missing = np.flatnonzero(~present)
+    missing = np.flatnonzero(~present) if ensure_tiles else np.zeros(0, np.int64)
     if len(missing):
         chunk_tiles = np.concatenate([chunk_tiles, missing])
         windows = np.concatenate(
@@ -280,14 +282,20 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES):
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
-def group_pad(chunk_tiles, K, BT):
+def group_pad(chunk_tiles, K, BT, *, min_one_step=True):
     """Pad the chunk stream so each K-chunk grid step stays inside one
-    BT-tile output block. Returns (remap, C, blocks_per_chunk_padded)."""
+    BT-tile output block. Returns (remap, C, blocks_per_chunk_padded).
+
+    ``min_one_step=False`` leaves blocks with no chunks unvisited — only
+    valid for accumulating streams whose output aliases an already-
+    initialized y."""
     C0 = len(chunk_tiles)
     blocks = chunk_tiles // BT
     nb = int(blocks[-1]) + 1 if C0 else 1
     cnt = np.bincount(blocks, minlength=nb)
-    padded = np.maximum(-(-cnt // K) * K, K)
+    padded = -(-cnt // K) * K
+    if min_one_step:
+        padded = np.maximum(padded, K)
     old_start = np.concatenate([[0], np.cumsum(cnt)])
     new_start = np.concatenate([[0], np.cumsum(padded)])
     remap = new_start[blocks] + (np.arange(C0) - old_start[blocks])
@@ -303,8 +311,14 @@ def build_bell2_plan(
     chunks_per_step: int | None = None,
     tiles_per_block: int | None = None,
     diag_threshold: int = DIAG_THRESHOLD,
+    cover_all_tiles: bool = True,
 ) -> Bell2Plan:
-    """Vectorized plan construction (O(nnz log nnz) + O(#subrows))."""
+    """Vectorized plan construction (O(nnz log nnz) + O(#subrows)).
+
+    ``cover_all_tiles=False`` builds a sparse *accumulating* stream: tiles
+    without nonzeros get no chunks at all, so the kernel must run with its
+    output aliased to an already-initialized y (the far-stream mode).
+    """
     n, m, nnz = csr.nrows, csr.ncols, csr.nnz
     auto_k, auto_bt = auto_geometry(n, nnz)
     K = chunks_per_step or auto_k
@@ -324,10 +338,12 @@ def build_bell2_plan(
         row, col, nnz, diag_threshold
     )
     e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
-        unit_key, tile, seg, T
+        unit_key, tile, seg, T, ensure_tiles=cover_all_tiles
     )
 
-    remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+    remap, C, blk_full = group_pad(
+        chunk_tiles, K, BT, min_one_step=cover_all_tiles
+    )
     meta = np.zeros((C, META_W), np.int32)
     meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
     meta[remap, 1] = nwin

@@ -143,7 +143,8 @@ def build_sbell_plan(
         )
         far_plan = build_bell2_plan(
             CSR.from_coo(far_coo), dtype=dtype,
-            chunks_per_step=K, tiles_per_block=BT,
+            chunks_per_step=min(K, 32), tiles_per_block=BT,
+            cover_all_tiles=False,
         )
 
     row, col, val = row[pairable], col[pairable], val[pairable]

@@ -37,7 +37,9 @@ META_W = 2 + SUBLANES
 
 __all__ = [
     "bell2_spmv_tiles",
+    "bell2_spmv_tiles_accum",
     "bell2_spmm_tiles",
+    "bell2_spmm_tiles_accum",
     "sbell_spmv_tiles",
     "sbell_spmm_tiles",
 ]
@@ -190,6 +192,84 @@ def bell2_spmv_tiles(
         x2d,
     )
     return out[:num_row_tiles]
+
+
+def _bell2_accum_kernel(
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K
+):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    for k in range(K):
+        W = _stack_windows(x_ref, meta_ref, k)
+        gathered = _gather_x(W, pk_ref[0, k])
+        contrib = jnp.sum(vals_ref[0, k] * gathered, axis=0, keepdims=True)
+        y_ref[pl.ds(meta_ref[0, k, 0], 1), :] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "interpret"),
+)
+def bell2_spmv_tiles_accum(
+    vals, packed, meta, step_block, x2d, y_tiles,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    interpret: bool = False,
+):
+    """y_tiles += A @ x for a sparse accumulating BELL2 stream.
+
+    The stream may leave output blocks unvisited (built with
+    ``cover_all_tiles=False``); ``y_tiles`` is aliased into the output so
+    untouched blocks keep their prior values. Used for the symmetric
+    plan's far residual, whose nonzeros touch few tiles."""
+    C = vals.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    assert y_tiles.shape == (tiles_padded, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, META_W), lambda g, s: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+        ],
+        out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_bell2_accum_kernel, K=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x2d,
+        y_tiles,
+    )
 
 
 def _bell2_mm_kernel(
@@ -389,3 +469,85 @@ def sbell_spmm_tiles(
         x3d,
     )
     return out[:, :num_row_tiles]
+
+
+def _bell2_mm_accum_kernel(
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs
+):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    for k in range(K):
+        pk = pk_ref[0, k]
+        v = vals_ref[0, k]
+        sub = meta_ref[0, k, 0]
+        for b in range(n_rhs):
+            W = _stack_windows_b(x_ref, meta_ref, k, b)
+            gathered = _gather_x(W, pk)
+            contrib = jnp.sum(v * gathered, axis=0, keepdims=True)
+            y_ref[b, pl.ds(sub, 1), :] += contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
+                     "interpret"),
+)
+def bell2_spmm_tiles_accum(
+    vals, packed, meta, step_block, x3d, y_tiles,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    interpret: bool = False,
+):
+    """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
+    C = vals.shape[0]
+    B = x3d.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    assert y_tiles.shape == (B, tiles_padded, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, K, META_W), lambda g, s: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BT, LANES), lambda g, s: (0, s[g], 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, BT, LANES), lambda g, s: (0, s[g], 0)
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, tiles_padded, LANES), vals.dtype
+        ),
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(
+        step_block,
+        meta.reshape(G, K, META_W),
+        vals.reshape(G, K, SUBLANES, LANES),
+        packed.reshape(G, K, SUBLANES, LANES),
+        x3d,
+        y_tiles,
+    )

@@ -21,7 +21,9 @@ from ..formats.sbell import SBellPlan
 from ..utils.config import config
 from .bell2_kernel import (
     bell2_spmm_tiles,
+    bell2_spmm_tiles_accum,
     bell2_spmv_tiles,
+    bell2_spmv_tiles_accum,
     sbell_spmm_tiles,
     sbell_spmv_tiles,
 )
@@ -164,10 +166,21 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
         transpose_windows=dev.transpose_windows,
         interpret=use_interpret(),
     )
-    y = tiles.reshape(-1)[: dev.nrows] + dev.diag * x
     if dev.far is not None:
-        y = y + bell2_apply(dev.far, x)
-    return y
+        # far residual accumulates straight into the paired tiles
+        # (sparse stream; unvisited blocks keep their values)
+        BT = dev.far.tiles_per_block
+        tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
+        tp = jnp.pad(tiles, ((0, tiles_padded - tiles.shape[0]), (0, 0)))
+        tiles = bell2_spmv_tiles_accum(
+            dev.far.vals, dev.far.packed, dev.far.meta,
+            dev.far.step_block, x2d, tp,
+            num_row_tiles=dev.far.num_row_tiles,
+            chunks_per_step=dev.far.chunks_per_step,
+            tiles_per_block=BT,
+            interpret=use_interpret(),
+        )[: dev.num_row_tiles]
+    return tiles.reshape(-1)[: dev.nrows] + dev.diag * x
 
 
 def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
@@ -181,7 +194,18 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
         transpose_windows=dev.transpose_windows,
         interpret=use_interpret(),
     )
-    y = tiles.reshape(B, -1)[:, : dev.nrows].T + dev.diag[:, None] * x
     if dev.far is not None:
-        y = y + bell2_apply_mm(dev.far, x)
-    return y
+        BT = dev.far.tiles_per_block
+        tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
+        tp = jnp.pad(
+            tiles, ((0, 0), (0, tiles_padded - tiles.shape[1]), (0, 0))
+        )
+        tiles = bell2_spmm_tiles_accum(
+            dev.far.vals, dev.far.packed, dev.far.meta,
+            dev.far.step_block, x3d, tp,
+            num_row_tiles=dev.far.num_row_tiles,
+            chunks_per_step=dev.far.chunks_per_step,
+            tiles_per_block=BT,
+            interpret=use_interpret(),
+        )[:, : dev.num_row_tiles]
+    return tiles.reshape(B, -1)[:, : dev.nrows].T + dev.diag[:, None] * x
