@@ -42,6 +42,7 @@ import dataclasses
 
 import numpy as np
 
+from .. import native as _native
 from ..utils.logging import info
 from .csr import CSR
 
@@ -204,53 +205,60 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
     uw_start = np.searchsorted(uw_unit, np.arange(n_units))
     uw_end = np.searchsorted(uw_unit, np.arange(n_units) + 1)
 
-    # greedy chunk packing per tile with window dedup (python loop over
-    # units — units ≈ subrows ≈ nnz / fill / 128, fast enough; a native
-    # C++ version is the planned accelerator for huge matrices)
-    chunk_of_unit = np.zeros(n_units, np.int64)
-    subrow_of_unit = np.zeros(n_units, np.int64)
-    uw_slot = np.zeros(len(uw_pos), np.int64)
-    chunk_tiles = []
-    chunk_windows = []  # list of per-chunk window lists
-    cur_tile = -1
-    cur_sub = SUBLANES
-    winmap: dict = {}
-    for k in range(n_units):
-        segs = uw_seg[uw_start[k] : uw_end[k]]
-        fresh = [sg for sg in segs if sg not in winmap]
-        if (
-            unit_tile[k] != cur_tile
-            or cur_sub >= SUBLANES
-            or len(winmap) + len(fresh) > max_windows
-        ):
-            cur_tile = unit_tile[k]
-            cur_sub = 0
-            winmap = {}
-            fresh = list(dict.fromkeys(segs))
-            chunk_tiles.append(cur_tile)
-            chunk_windows.append([])
-        for sg in fresh:
-            winmap[sg] = len(winmap)
-            chunk_windows[-1].append(sg)
-        for idx in range(uw_start[k], uw_end[k]):
-            uw_slot[idx] = winmap[uw_seg[idx]]
-        chunk_of_unit[k] = len(chunk_tiles) - 1
-        subrow_of_unit[k] = cur_sub
-        cur_sub += 1
-
-    C0 = len(chunk_tiles)
-    chunk_tiles = (
-        np.asarray(chunk_tiles, np.int64) if C0 else np.zeros(0, np.int64)
+    # greedy chunk packing per tile with window dedup — native C++ scan
+    # (csrc/cfs_native.cpp:cfs_pack_units) with an identical Python
+    # fallback; the scan is the one inherently sequential planner step
+    packed_native = _native.pack_units(
+        uw_start, uw_end, uw_seg, unit_tile, SUBLANES, max_windows
     )
+    if packed_native is not None:
+        (chunk_of_unit, subrow_of_unit, uw_slot,
+         chunk_tiles, windows, nwin) = packed_native
+        C0 = len(chunk_tiles)
+    else:
+        chunk_of_unit = np.zeros(n_units, np.int64)
+        subrow_of_unit = np.zeros(n_units, np.int64)
+        uw_slot = np.zeros(len(uw_pos), np.int64)
+        chunk_tiles = []
+        chunk_windows = []  # list of per-chunk window lists
+        cur_tile = -1
+        cur_sub = SUBLANES
+        winmap: dict = {}
+        for k in range(n_units):
+            segs = uw_seg[uw_start[k] : uw_end[k]]
+            fresh = [sg for sg in segs if sg not in winmap]
+            if (
+                unit_tile[k] != cur_tile
+                or cur_sub >= SUBLANES
+                or len(winmap) + len(fresh) > max_windows
+            ):
+                cur_tile = unit_tile[k]
+                cur_sub = 0
+                winmap = {}
+                fresh = list(dict.fromkeys(segs))
+                chunk_tiles.append(cur_tile)
+                chunk_windows.append([])
+            for sg in fresh:
+                winmap[sg] = len(winmap)
+                chunk_windows[-1].append(sg)
+            for idx in range(uw_start[k], uw_end[k]):
+                uw_slot[idx] = winmap[uw_seg[idx]]
+            chunk_of_unit[k] = len(chunk_tiles) - 1
+            subrow_of_unit[k] = cur_sub
+            cur_sub += 1
+
+        C0 = len(chunk_tiles)
+        chunk_tiles = (
+            np.asarray(chunk_tiles, np.int64) if C0 else np.zeros(0, np.int64)
+        )
+        windows = np.zeros((C0, SUBLANES), np.int32)
+        nwin = np.zeros(C0, np.int32)
+        for ci, wl in enumerate(chunk_windows):
+            windows[ci, : len(wl)] = wl
+            nwin[ci] = len(wl)
 
     # window slot per entry via its (unit, seg) pair
     r2_sorted = uw_slot[uw_id]
-
-    windows = np.zeros((C0, SUBLANES), np.int32)
-    nwin = np.zeros(C0, np.int32)
-    for ci, wl in enumerate(chunk_windows):
-        windows[ci, : len(wl)] = wl
-        nwin[ci] = len(wl)
 
     # scatter back to original entry order
     e_chunk = np.empty(len(u), np.int64)

@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 
+from .. import native as _native
 from ..utils.logging import info
 
 __all__ = ["MMFHeader", "read_mmf", "write_mmf", "PATTERN_DEFAULT_VALUE"]
@@ -107,28 +108,44 @@ def read_mmf(
         raise ValueError(f"bad size line: {text[pos:size_end]!r}")
     nrows, ncols, nnz_decl = (int(t) for t in size_toks)
 
-    body = text[size_end + 1 :]
-    tokens = body.split()
     width = 2 if field == "pattern" else 3
-    if len(tokens) % width != 0:
-        # trailing garbage or files with per-line comments; fall back to
-        # line-wise parsing of exactly nnz_decl lines
-        tokens = tokens[: nnz_decl * width]
-    arr = np.asarray(tokens, dtype=np.float64)
-    if arr.size != nnz_decl * width:
-        raise ValueError(
-            f"expected {nnz_decl} entries x {width} tokens, got {arr.size} tokens"
-        )
-    arr = arr.reshape(nnz_decl, width)
-    row = arr[:, 0].astype(np.int64)
-    col = arr[:, 1].astype(np.int64)
+    # offsets are into the decoded text, so re-encode the body (ASCII
+    # memcpy) rather than slicing the raw bytes, which may differ in
+    # length when comments contain undecodable bytes
+    parsed = _native.parse_mmf_body(
+        text[size_end + 1 :].encode("utf-8", errors="replace"),
+        nnz_decl, width,
+    )
+    if parsed is not None:
+        row, col, fval = parsed
+    else:
+        body = text[size_end + 1 :]
+        if "%" in body:  # per-entry comment lines are legal MMF
+            body = "\n".join(
+                ln for ln in body.splitlines() if not ln.lstrip().startswith("%")
+            )
+        tokens = body.split()
+        if len(tokens) % width != 0:
+            # trailing garbage or files with per-line comments; fall back
+            # to exactly nnz_decl records
+            tokens = tokens[: nnz_decl * width]
+        arr = np.asarray(tokens, dtype=np.float64)
+        if arr.size != nnz_decl * width:
+            raise ValueError(
+                f"expected {nnz_decl} entries x {width} tokens, "
+                f"got {arr.size} tokens"
+            )
+        arr = arr.reshape(nnz_decl, width)
+        row = arr[:, 0].astype(np.int64)
+        col = arr[:, 1].astype(np.int64)
+        fval = arr[:, 2] if width == 3 else None
     if not zero_based:
         row -= 1
         col -= 1
     if field == "pattern":
         val = np.full(nnz_decl, PATTERN_DEFAULT_VALUE, dtype=dtype)
     else:
-        val = arr[:, 2].astype(dtype)
+        val = np.asarray(fval).astype(dtype)
 
     if row.min(initial=0) < 0 or col.min(initial=0) < 0 or (
         nnz_decl and (row.max() >= nrows or col.max() >= ncols)

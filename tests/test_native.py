@@ -1,0 +1,114 @@
+"""Native C++ runtime vs NumPy fallback equivalence.
+
+The native library (csrc/cfs_native.cpp) must produce bit-identical
+results to the Python fallbacks: same MMF parse, same BELL2 plans.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from cfs_spmv_tpu import COO, CSR, native
+from cfs_spmv_tpu.formats.bell2 import build_bell2_plan
+from cfs_spmv_tpu.io.mmf import read_mmf
+from cfs_spmv_tpu.utils import config as config_mod
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.fixture
+def no_native(monkeypatch):
+    """Force the NumPy fallback paths."""
+    monkeypatch.setattr(native, "parse_mmf_body", lambda *a, **k: None)
+    monkeypatch.setattr(native, "pack_units", lambda *a, **k: None)
+
+
+def _mmf_text():
+    rng = np.random.default_rng(3)
+    n, nnz = 57, 301
+    r = rng.integers(1, n + 1, nnz)
+    c = rng.integers(1, n + 1, nnz)
+    v = rng.standard_normal(nnz)
+    lines = [
+        "%%MatrixMarket matrix coordinate real general",
+        "% comment line",
+        f"{n} {n} {nnz}",
+    ]
+    lines += [f"{ri} {ci} {vi:.17g}" for ri, ci, vi in zip(r, c, v)]
+    # per-entry comment lines are legal and must be skipped
+    lines.insert(10, "% mid-body comment")
+    return "\n".join(lines) + "\n"
+
+
+@requires_native
+def test_parse_matches_python(no_native_request=None):
+    text = _mmf_text()
+    hdr_n, rn, cn, vn = read_mmf(io.StringIO(text))
+    # force fallback by monkeypatching inline
+    orig = native.parse_mmf_body
+    try:
+        native.parse_mmf_body = lambda *a, **k: None
+        hdr_p, rp, cp, vp = read_mmf(io.StringIO(text))
+    finally:
+        native.parse_mmf_body = orig
+    assert hdr_n == hdr_p
+    np.testing.assert_array_equal(rn, rp)
+    np.testing.assert_array_equal(cn, cp)
+    np.testing.assert_array_equal(vn, vp)
+
+
+@requires_native
+def test_parse_pattern_and_malformed():
+    text = (
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "3 3 2\n1 2\n3 1\n"
+    )
+    hdr, r, c, v = read_mmf(io.StringIO(text))
+    np.testing.assert_array_equal(r, [0, 2])
+    np.testing.assert_array_equal(c, [1, 0])
+    assert np.all(v == 0.42)
+
+    bad = "%%MatrixMarket matrix coordinate real general\n2 2 2\n1 1 0.5\n"
+    with pytest.raises(ValueError):
+        read_mmf(io.StringIO(bad))  # truncated body
+
+
+@requires_native
+@pytest.mark.parametrize("kind", ["banded", "scattered", "mixed"])
+def test_pack_units_matches_python(kind):
+    rng_seed = {"banded": 0, "scattered": 1, "mixed": 2}[kind]
+    bw = {"banded": 40, "scattered": None, "mixed": 900}[kind]
+    coo = COO.random(1000, 1000, 9.0, bandwidth=bw, seed=rng_seed)
+    csr = CSR.from_coo(coo)
+
+    plan_native = build_bell2_plan(csr, dtype=np.float32)
+    orig = native.pack_units
+    try:
+        native.pack_units = lambda *a, **k: None
+        plan_py = build_bell2_plan(csr, dtype=np.float32)
+    finally:
+        native.pack_units = orig
+
+    np.testing.assert_array_equal(plan_native.vals, plan_py.vals)
+    np.testing.assert_array_equal(plan_native.packed, plan_py.packed)
+    np.testing.assert_array_equal(plan_native.meta, plan_py.meta)
+    np.testing.assert_array_equal(
+        plan_native.step_block, plan_py.step_block
+    )
+
+
+def test_native_disabled_env(monkeypatch):
+    """CFS_NATIVE=0 must force the fallback without error."""
+    import cfs_spmv_tpu.native as nat
+
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setenv("CFS_NATIVE", "0")
+    assert nat.parse_mmf_body(b"1 1 1.0", 1, 3) is None
+    assert not nat.available()
+    # restore for other tests
+    monkeypatch.setattr(nat, "_tried", False)
