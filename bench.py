@@ -92,55 +92,8 @@ def make_stencil27(g=40, dtype=np.float32, seed=0):
     return CSR.from_coo(coo)
 
 
-def measure_latency(iters=500):
-    """Fixed dispatch latency of an (almost) empty jitted loop."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def empty(x):
-        def body(i, a):
-            return a + 1e-9
-        return jax.lax.fori_loop(0, iters, body, x)
-
-    r = empty(jnp.float32(0.0))
-    np.asarray(r)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(empty(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def time_matvec(matvec, x, iters=500):
-    """Amortized per-iteration time with a hoisting-proof dependency."""
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.asarray(x)
-
-    @jax.jit
-    def loop(x):
-        def body(i, carry):
-            x, acc = carry
-            y = matvec(x * (1.0 + 1e-12 * i))
-            return (x, acc + y[0])
-        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-
-    r = loop(x)
-    jax.block_until_ready(r)
-    lat = measure_latency(iters)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = loop(x)
-        np.asarray(r[1])
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - lat, 1e-9) / iters
-
-
-def bench_one(name, csr, *, iters=500, dtype=np.float32):
+def bench_one(name, csr, *, iters=2000, dtype=np.float32):
+    from cfs_spmv_tpu.utils.timing import time_matvec
     from cfs_spmv_tpu import Format, SparseMatrix, SpDMV, Tuning
     from cfs_spmv_tpu.utils import roofline
     from cfs_spmv_tpu.utils.platform import allclose_spmv

@@ -1,0 +1,87 @@
+"""Throughput benchmark harness (ref ``bench/bench_spmv_mmf.cpp``).
+
+Reports the reference's line — preprocessing seconds (SpDMV
+construction, ref ``:145-148``), per-iteration seconds, GFLOP/s =
+2*nnz*iters/t (ref ``:168``) and stream size in MB — plus the TPU
+roofline: nnz/s against the per-chip HBM speed of light.
+
+Usage: python -m cfs_spmv_tpu.cli.bench_spmv_mmf <file.mtx> <fmt> <iters>
+       [--dp] [--rhs B]
+
+``--rhs B`` benchmarks SpDMM with B right-hand sides instead of SpDMV
+(a capability the reference lacks; BASELINE config 3).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import parse_format
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3:
+        print(
+            "Usage: python -m cfs_spmv_tpu.cli.bench_spmv_mmf "
+            "<mmf_file> <format: 0=csr 1=sss 2=hyb> <iters> [--dp] "
+            "[--rhs B]",
+            file=sys.stderr,
+        )
+        return 1
+    import jax
+
+    from .. import SparseMatrix, SpDMV
+    from ..utils import roofline
+    from ..utils.platform import Tuning
+    from ..utils.timing import time_matvec
+
+    mmf_file, fmt = argv[0], parse_format(argv[1])
+    loops = int(argv[2])
+    rest = argv[3:]
+    dtype = np.float64 if "--dp" in rest else np.float32
+    rhs = int(rest[rest.index("--rhs") + 1]) if "--rhs" in rest else 0
+
+    A = SparseMatrix.create(mmf_file, fmt)
+    M, N = A.nrows, A.ncols
+
+    t0 = time.perf_counter()
+    fn = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype)
+    preproc = time.perf_counter() - t0
+
+    rng = np.random.default_rng()
+    shape = (N, rhs) if rhs else (N,)
+    x = rng.uniform(0.01, 0.42, shape).astype(dtype)  # ref :125
+
+    t_iter = time_matvec(fn, x, iters=loops)
+    nnz_full = A.tuned.nnz_full
+    flops_per_apply = 2 * nnz_full * max(rhs, 1)
+    gflops = flops_per_apply / t_iter / 1e9
+    nnz_s = nnz_full / t_iter
+
+    chip = roofline.detect_chip()
+    bpn = roofline.spmv_bytes_per_nnz(
+        value_bytes=np.dtype(dtype).itemsize, index_bytes=4,
+        nnz=nnz_full, nrows=M, ncols=N,
+        vector_bytes=np.dtype(dtype).itemsize,
+    )
+    sol = roofline.speed_of_light_nnz_s(chip, bpn)
+
+    # reference-format line (bench_spmv_mmf.cpp:169-173) + roofline tail
+    print(
+        f"matrix: {os.path.basename(mmf_file)} format: {fmt.name}"
+        f"{f'-MM{rhs}' if rhs else ''} "
+        f"preproc(sec): {preproc:.4g} t(sec): {t_iter:.4g} "
+        f"gflops/s: {gflops:.4g} devices: {jax.device_count()} "
+        f"size(MB): {A.size() / (1024 * 1024):.4g} "
+        f"nnz/s: {nnz_s:.4g} roofline: {100 * nnz_s / sol:.0f}%"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
