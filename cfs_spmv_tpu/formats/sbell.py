@@ -47,6 +47,7 @@ from .bell2 import (
 )
 from .coo import COO
 from .csr import CSR
+from .sdia import SDIA_FILL, SDIA_MIN_COUNT, SDiaPlan, extract_sdia
 
 __all__ = ["SBellPlan", "build_sbell_plan", "PAIR_THRESHOLD"]
 
@@ -70,6 +71,7 @@ class SBellPlan:
     nnz_paired: int
     far: Bell2Plan | None
     transpose_windows: int = 2
+    dia: SDiaPlan | None = None
 
     @property
     def num_chunks(self) -> int:
@@ -77,21 +79,33 @@ class SBellPlan:
 
     @property
     def padding_ratio(self) -> float:
-        slots = self.vals.size + (
+        # the covering chunks of an EMPTY paired stream are placeholders
+        # that never reach the device (sym_to_device skips them)
+        slots = (self.vals.size if self.nnz_paired else 0) + (
             0 if self.far is None else self.far.vals.size
+        ) + (0 if self.dia is None else self.dia.vals.size)
+        stored = (
+            self.nnz_paired
+            + (0 if self.far is None else self.far.nnz)
+            + (0 if self.dia is None else self.dia.nnz)
         )
-        stored = self.nnz_paired + (0 if self.far is None else self.far.nnz)
         return slots / max(stored, 1)
 
     @property
     def far_fraction(self) -> float:
         f = 0 if self.far is None else self.far.nnz
-        return f / max(2 * self.nnz_paired + f, 1)
+        return f / max(self.nnz_full, 1)
 
     def stream_bytes(self) -> int:
-        b = self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+        b = (
+            self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+            if self.nnz_paired
+            else 0
+        )
         if self.far is not None:
             b += self.far.stream_bytes()
+        if self.dia is not None:
+            b += self.dia.stream_bytes()
         return b + self.diag.nbytes
 
 
@@ -103,8 +117,16 @@ def build_sbell_plan(
     tiles_per_block: int | None = None,
     pair_threshold: int = PAIR_THRESHOLD,
     transpose_windows: int | None = None,
+    dia: bool = True,
+    dia_fill: float = SDIA_FILL,
+    dia_min_count: int = SDIA_MIN_COUNT,
 ) -> SBellPlan:
-    """Build the paired symmetric plan from lower-triangle CSR storage."""
+    """Build the paired symmetric plan from lower-triangle CSR storage.
+
+    Dense exact diagonals are first peeled into an index-free SDIA
+    stream (``dia=False`` disables, e.g. for sharded sub-plans); the
+    residual goes to the paired/far BELL2 streams.
+    """
     assert csr.symmetric, "SBELL requires symmetric (lower-triangle) CSR"
     from .bell2 import auto_geometry
 
@@ -121,6 +143,15 @@ def build_sbell_plan(
     col = lower_csr.indices.astype(np.int64)
     val = np.asarray(lower_csr.data)
     nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+
+    dia_plan = None
+    if dia and len(row):
+        dia_plan, resid = extract_sdia(
+            row, col, val, n, dtype=dtype, fill=dia_fill,
+            min_count=dia_min_count,
+        )
+        if dia_plan is not None:
+            row, col, val = row[resid], col[resid], val[resid]
 
     tile = row >> 7
     seg = col >> 7
@@ -161,7 +192,7 @@ def build_sbell_plan(
         return SBellPlan(
             n, nnz_full, diag.astype(dtype),
             e.vals, e.packed, e.meta, e.step_block,
-            T, x_rows, K, BT, 0, far_plan,
+            T, x_rows, K, BT, 0, far_plan, 2, dia_plan,
         )
 
     # --- diagonal-unit packing (shared with bell2's pack_chunks) -------
@@ -217,11 +248,12 @@ def build_sbell_plan(
     plan = SBellPlan(
         n, nnz_full, diag.astype(dtype),
         vals_arr, pk, meta, step_block,
-        T, x_rows, K, BT, nnz_paired, far_plan, tw,
+        T, x_rows, K, BT, nnz_paired, far_plan, tw, dia_plan,
     )
     info(
-        "sbell: n=%d nnz_full=%d paired=%d far=%d chunks=%d pad=%.2fx",
-        n, nnz_full, nnz_paired,
+        "sbell: n=%d nnz_full=%d dia=%d paired=%d far=%d chunks=%d "
+        "pad=%.2fx",
+        n, nnz_full, 0 if dia_plan is None else dia_plan.nnz, nnz_paired,
         0 if far_plan is None else far_plan.nnz, C, plan.padding_ratio,
     )
     return plan

@@ -27,6 +27,7 @@ from .bell2_kernel import (
     sbell_spmm_tiles,
     sbell_spmv_tiles,
 )
+from .sdia_kernel import sdia_sym_tiles, sdia_sym_tiles_mm
 
 __all__ = [
     "Bell2Device",
@@ -83,6 +84,13 @@ class SBellDevice:
     transpose_windows: int = dataclasses.field(
         default=2, metadata=dict(static=True)
     )
+    dia_vals: Any = None  # (R, D, 8, 128) dense-diagonal stream
+    dia_offsets: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    has_paired: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
 
 def to_device(plan: Bell2Plan) -> Bell2Device:
@@ -101,11 +109,14 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
 
 
 def sym_to_device(plan: SBellPlan) -> SBellDevice:
+    empty = plan.nnz_paired == 0  # skip uploading the covering chunks
     return SBellDevice(
-        vals=jnp.asarray(plan.vals),
-        packed=jnp.asarray(plan.packed),
-        meta=jnp.asarray(plan.meta),
-        step_block=jnp.asarray(plan.step_block),
+        vals=jnp.zeros((0,)) if empty else jnp.asarray(plan.vals),
+        packed=jnp.zeros((0,)) if empty else jnp.asarray(plan.packed),
+        meta=jnp.zeros((0,)) if empty else jnp.asarray(plan.meta),
+        step_block=jnp.zeros((0,))
+        if empty
+        else jnp.asarray(plan.step_block),
         diag=jnp.asarray(plan.diag),
         far=None if plan.far is None else to_device(plan.far),
         num_row_tiles=plan.num_row_tiles,
@@ -114,6 +125,9 @@ def sym_to_device(plan: SBellPlan) -> SBellDevice:
         chunks_per_step=plan.chunks_per_step,
         tiles_per_block=plan.tiles_per_block,
         transpose_windows=plan.transpose_windows,
+        dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
+        dia_offsets=() if plan.dia is None else plan.dia.offsets,
+        has_paired=plan.nnz_paired > 0,
     )
 
 
@@ -158,14 +172,17 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
     2965-3028``), with each stored value driving both contributions.
     """
     x2d = pad_x(x, dev.x_rows)
-    tiles = sbell_spmv_tiles(
-        dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
-        num_row_tiles=dev.num_row_tiles,
-        chunks_per_step=dev.chunks_per_step,
-        tiles_per_block=dev.tiles_per_block,
-        transpose_windows=dev.transpose_windows,
-        interpret=use_interpret(),
-    )
+    if dev.has_paired:
+        tiles = sbell_spmv_tiles(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
+            num_row_tiles=dev.num_row_tiles,
+            chunks_per_step=dev.chunks_per_step,
+            tiles_per_block=dev.tiles_per_block,
+            transpose_windows=dev.transpose_windows,
+            interpret=use_interpret(),
+        )
+    else:
+        tiles = jnp.zeros((dev.num_row_tiles, LANES), dev.diag.dtype)
     if dev.far is not None:
         # far residual accumulates straight into the paired tiles
         # (sparse stream; unvisited blocks keep their values)
@@ -180,20 +197,30 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             tiles_per_block=BT,
             interpret=use_interpret(),
         )[: dev.num_row_tiles]
+    if dev.dia_vals is not None:
+        tiles = sdia_sym_tiles(
+            dev.dia_vals, x2d, tiles[: dev.num_row_tiles],
+            offsets=dev.dia_offsets, interpret=use_interpret(),
+        )
     return tiles.reshape(-1)[: dev.nrows] + dev.diag * x
 
 
 def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
     B = x.shape[1]
     x3d = jnp.stack([pad_x(x[:, b], dev.x_rows) for b in range(B)])
-    tiles = sbell_spmm_tiles(
-        dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
-        num_row_tiles=dev.num_row_tiles,
-        chunks_per_step=dev.chunks_per_step,
-        tiles_per_block=dev.tiles_per_block,
-        transpose_windows=dev.transpose_windows,
-        interpret=use_interpret(),
-    )
+    if dev.has_paired:
+        tiles = sbell_spmm_tiles(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
+            num_row_tiles=dev.num_row_tiles,
+            chunks_per_step=dev.chunks_per_step,
+            tiles_per_block=dev.tiles_per_block,
+            transpose_windows=dev.transpose_windows,
+            interpret=use_interpret(),
+        )
+    else:
+        tiles = jnp.zeros(
+            (B, dev.num_row_tiles, LANES), dev.diag.dtype
+        )
     if dev.far is not None:
         BT = dev.far.tiles_per_block
         tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
@@ -208,4 +235,9 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             tiles_per_block=BT,
             interpret=use_interpret(),
         )[:, : dev.num_row_tiles]
+    if dev.dia_vals is not None:
+        tiles = sdia_sym_tiles_mm(
+            dev.dia_vals, x3d, tiles[:, : dev.num_row_tiles],
+            offsets=dev.dia_offsets, interpret=use_interpret(),
+        )
     return tiles.reshape(B, -1)[:, : dev.nrows].T + dev.diag[:, None] * x

@@ -221,6 +221,9 @@ class DistSpDMV:
                     CSR.from_coo(ncoo), dtype=self.dtype,
                     chunks_per_step=self.K, tiles_per_block=BT,
                     transpose_windows=2,
+                    # per-shard SDIA streams are not stacked yet; the
+                    # sharded path keeps the uniform paired layout
+                    dia=False,
                 )
             )
             # far: local rows, global cols, one-sided — this shard owns
