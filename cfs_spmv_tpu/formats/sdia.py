@@ -86,8 +86,13 @@ def extract_sdia(
     dmap = np.full(len(uniq), -1, np.int64)
     dmap[ok] = np.arange(int(ok.sum()))
 
+    from ..ops.sdia_kernel import _blocks_per_step
+
     R = -(-n // BLOCK_ROWS)
     D = len(offsets)
+    # pad R so the kernel can process RB blocks per grid step
+    RB = _blocks_per_step(R, D, np.dtype(dtype).itemsize)
+    R = -(-R // RB) * RB
     vals = np.zeros((R, D, SUBLANES, LANES), dtype)
     g = row[sel]
     j = dmap[inv[sel]]

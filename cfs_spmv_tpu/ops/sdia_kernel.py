@@ -49,11 +49,13 @@ def _group_by_sublane_shift(offsets):
     return groups
 
 
-def _sdia_body(vals_ref, x_ref, y_ref, b, *, offsets, SP, dtype):
+def _sdia_body(vals_ref, x_ref, y_ref, b, rb, RB, *, offsets, SP, dtype):
     """Accumulate one row block of (L + Lᵀ) x into y_ref (rhs index b
-    selects the x/y planes for the SpMM variant; None for SpMV)."""
+    selects the x/y planes for the SpMM variant; None for SpMV).
+    ``rb`` indexes the row block within this grid step's RB-block slab
+    (multiple blocks per step amortize grid/DMA overhead)."""
     g = pl.program_id(0)
-    base = SP + g * SUBLANES
+    base = SP + (g * RB + rb) * SUBLANES
 
     def xload(r0, nrows=SUBLANES):
         if b is None:
@@ -70,7 +72,7 @@ def _sdia_body(vals_ref, x_ref, y_ref, b, *, offsets, SP, dtype):
         t1 = xload(base - s)
         t0 = xload(base - s - 1)
         for j, l in diags:
-            v = vals_ref[0, j]
+            v = vals_ref[rb, j]
             # row side: y[g] += v * x[g - d]
             if l == 0:
                 xs = t1
@@ -100,18 +102,30 @@ def _sdia_body(vals_ref, x_ref, y_ref, b, *, offsets, SP, dtype):
 
 
 def _sdia_kernel(vals_ref, x_ref, yin_ref, y_ref, *, offsets, SP, dtype,
-                 n_rhs):
+                 n_rhs, RB):
     @pl.when(pl.program_id(0) == 0)
     def _():
         y_ref[...] = yin_ref[...]
 
-    if n_rhs is None:
-        _sdia_body(vals_ref, x_ref, y_ref, None,
-                   offsets=offsets, SP=SP, dtype=dtype)
-    else:
-        for b in range(n_rhs):
-            _sdia_body(vals_ref, x_ref, y_ref, b,
+    for rb in range(RB):
+        if n_rhs is None:
+            _sdia_body(vals_ref, x_ref, y_ref, None, rb, RB,
                        offsets=offsets, SP=SP, dtype=dtype)
+        else:
+            for b in range(n_rhs):
+                _sdia_body(vals_ref, x_ref, y_ref, b, rb, RB,
+                           offsets=offsets, SP=SP, dtype=dtype)
+
+
+def _blocks_per_step(R: int, D: int, itemsize: int) -> int:
+    """Row blocks per grid step: target ~0.5 MB of vals per DMA, cap 8.
+
+    Must give the same answer for the plan's original R and the padded
+    R (= next multiple): it is min(cap, R) with cap independent of R.
+    """
+    per_block = D * SUBLANES * LANES * itemsize
+    cap = max(1, min(SUBLANES, (512 * 1024) // max(per_block, 1)))
+    return min(cap, R)
 
 
 @functools.partial(
@@ -127,6 +141,8 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
     assert D == len(offsets)
     T = y_tiles.shape[0]
     SP = max(d // LANES for d in offsets) + 1
+    RB = _blocks_per_step(R, D, vals.dtype.itemsize)
+    assert R % RB == 0, "plan must pad R to the RB multiple"
     rows = SP + R * SUBLANES
     xp = jnp.pad(
         x2d, ((SP, max(0, rows - SP - x2d.shape[0])), (0, 0))
@@ -135,12 +151,12 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
     out = pl.pallas_call(
         functools.partial(
             _sdia_kernel, offsets=offsets, SP=SP, dtype=vals.dtype,
-            n_rhs=None,
+            n_rhs=None, RB=RB,
         ),
-        grid=(R,),
+        grid=(R // RB,),
         in_specs=[
             pl.BlockSpec(
-                (1, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
+                (RB, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -166,6 +182,8 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     R, D = vals.shape[0], vals.shape[1]
     B, T = y_tiles.shape[0], y_tiles.shape[1]
     SP = max(d // LANES for d in offsets) + 1
+    RB = _blocks_per_step(R, D, vals.dtype.itemsize)
+    assert R % RB == 0, "plan must pad R to the RB multiple"
     rows = SP + R * SUBLANES
     xp = jnp.pad(
         x3d, ((0, 0), (SP, max(0, rows - SP - x3d.shape[1])), (0, 0))
@@ -176,12 +194,12 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     out = pl.pallas_call(
         functools.partial(
             _sdia_kernel, offsets=offsets, SP=SP, dtype=vals.dtype,
-            n_rhs=B,
+            n_rhs=B, RB=RB,
         ),
-        grid=(R,),
+        grid=(R // RB,),
         in_specs=[
             pl.BlockSpec(
-                (1, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
+                (RB, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
