@@ -61,6 +61,7 @@ def tune(
     kernel: Kernel = Kernel.SpDMV,
     tuning: Tuning = Tuning.AGGRESSIVE,
     dtype=np.float32,
+    cache_dir: str | None = None,
 ) -> TunedMatrix:
     """Select a layout and build the tuned matrix.
 
@@ -73,6 +74,11 @@ def tune(
     differential tests, ``test_spmv_mmf.cpp:85-89``).
     """
     del kernel  # SpDMV/SpDMM share plans; both appliers are bound below
+    from ..io.plancache import cached_build
+    from ..utils.config import config as _cfg
+
+    if cache_dir is None:
+        cache_dir = _cfg.plan_cache_dir
     if fmt == Format.NONE:
         fmt = (
             Format.SSS
@@ -82,8 +88,25 @@ def tune(
     if fmt in (Format.SSS, Format.HYB) and not csr.symmetric:
         raise ValueError(f"format {fmt} requires a symmetric matrix")
 
+    if np.dtype(dtype) == np.float64 and not spmv_ops.use_interpret():
+        # Pallas TPU has no 64-bit lanes; fp64 (the reference test
+        # binary's pinned type, test_spmv_mmf.cpp:17) runs through the
+        # pure-XLA COO path — emulated and slow, for correctness checks
+        # on small matrices (SURVEY §7 hard parts).
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "float64 requested but jax_enable_x64 is off; enable it "
+                "or use float32"
+            )
+        return _tune_fp64_xla(csr, fmt)
+
     if fmt in (Format.SSS, Format.HYB) and tuning == Tuning.AGGRESSIVE:
-        plan = build_sbell_plan(csr, dtype=dtype)
+        plan = cached_build(
+            lambda: build_sbell_plan(csr, dtype=dtype),
+            csr, dtype, cache_dir, fmt="sbell",
+        )
         dev = spmv_ops.sym_to_device(plan)
 
         def matvec(x, dev=dev):
@@ -99,7 +122,10 @@ def tune(
     elif fmt in (Format.CSR, Format.BELL, Format.COO, Format.SSS, Format.HYB):
         src = csr.to_coo().expand_symmetric() if csr.symmetric else None
         gen_csr = CSR.from_coo(src) if src is not None else csr
-        plan = build_bell2_plan(gen_csr, dtype=dtype)
+        plan = cached_build(
+            lambda: build_bell2_plan(gen_csr, dtype=dtype),
+            gen_csr, dtype, cache_dir, fmt="bell2",
+        )
         dev = spmv_ops.to_device(plan)
 
         def matvec(x, dev=dev):
@@ -122,3 +148,42 @@ def tune(
         tuned.spill_fraction,
     )
     return tuned
+
+
+@dataclasses.dataclass
+class CooDevicePlan:
+    """Device COO arrays backing the fp64-on-TPU XLA path."""
+
+    row: object
+    col: object
+    val: object
+
+    def stream_bytes(self) -> int:
+        return sum(int(a.size) * a.dtype.itemsize
+                   for a in (self.row, self.col, self.val))
+
+
+def _tune_fp64_xla(csr: CSR, fmt: Format) -> TunedMatrix:
+    import jax.numpy as jnp
+
+    from ..ops.xla_ref import coo_spmm_xla, coo_spmv_xla
+
+    coo = csr.to_coo().expand_symmetric() if csr.symmetric else csr.to_coo()
+    nrows = csr.nrows
+    dev = CooDevicePlan(
+        jnp.asarray(coo.row.astype(np.int32)),
+        jnp.asarray(coo.col.astype(np.int32)),
+        jnp.asarray(coo.val.astype(np.float64)),
+    )
+
+    def matvec(x, dev=dev):
+        return coo_spmv_xla(dev.row, dev.col, dev.val, x, nrows=nrows)
+
+    def matmat(x, dev=dev):
+        return coo_spmm_xla(dev.row, dev.col, dev.val, x, nrows=nrows)
+
+    info("tune: fp64 on TPU -> XLA COO path, nnz=%d", coo.nnz)
+    return TunedMatrix(
+        fmt, nrows, csr.ncols, coo.nnz, csr.symmetric, dev,
+        matvec, matmat, 0.0, 1.0,
+    )
