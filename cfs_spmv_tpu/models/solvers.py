@@ -31,14 +31,22 @@ def cg(
     requirement); residual norm is returned for convergence checks on the
     host. fp32 accumulation with one fp64-free Polak update per step.
     """
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x)
+    from ..utils.timing import as_pure
+
+    # device streams flow as arguments (closures would embed the whole
+    # matrix into the compiled module as constants); with RCM active the
+    # whole iteration runs in permuted space (norms are invariant) and
+    # only the solution is decoded
+    fn, ops, encode, decode = as_pure(matvec)
+    b = jnp.asarray(encode(b))
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(encode(x0))
+    r = b - fn(ops, x)
     p = r
     rs = jnp.vdot(r, r)
 
     def body(carry, _):
         x, r, p, rs = carry
-        Ap = matvec(p)
+        Ap = fn(ops, p)
         alpha = rs / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -49,18 +57,21 @@ def cg(
     (x, r, _, rs), hist = jax.lax.scan(
         body, (x, r, p, rs), None, length=iters
     )
-    return x, jnp.sqrt(rs), jnp.sqrt(hist)
+    return decode(x), jnp.sqrt(rs), jnp.sqrt(hist)
 
 
 def power_iteration(matvec: Callable, n: int, *, iters: int = 100, seed: int = 0):
     """Dominant eigenvalue via power iteration (spectral-norm model)."""
+    from ..utils.timing import as_pure
+
     v = jax.random.normal(jax.random.PRNGKey(seed), (n,), jnp.float32)
     v = v / jnp.linalg.norm(v)
+    fn, ops, _, decode = as_pure(matvec)
 
     def body(v, _):
-        w = matvec(v)
+        w = fn(ops, v)
         nrm = jnp.linalg.norm(w)
         return w / nrm, nrm
 
     v, nrms = jax.lax.scan(body, v, None, length=iters)
-    return v, nrms[-1]
+    return decode(v), nrms[-1]

@@ -1,0 +1,124 @@
+"""Bandwidth-reducing reordering (reverse Cuthill–McKee).
+
+The locality analog of the reference's graph-partitioned placement
+(``partition_by_conflicts``, METIS/KaHIP k-way min-edge-cut,
+``csr_matrix.tpp:543-639``): where the reference assigns row blocks to
+threads to minimize conflict edges, the TPU layout wants nonzeros near
+the diagonal so they land on dense exact diagonals (SDIA) and in-block
+paired windows (SBELL). RCM minimizes the envelope with a BFS ordered by
+degree — implemented level-synchronously with vectorized NumPy gathers.
+
+Applying a symmetric permutation P A Pᵀ costs one gather of x and one of
+y per apply (two n-element takes), paid only when tuning decides the
+bandwidth reduction is worth it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.logging import info
+
+__all__ = ["rcm_permutation", "mean_bandwidth", "choose_reorder"]
+
+
+def _sym_pattern(csr):
+    """Upper+lower adjacency (indptr, indices) of the symmetrized graph,
+    self-loops removed."""
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    col = csr.indices.astype(np.int64)
+    off = row != col
+    r = np.concatenate([row[off], col[off]])
+    c = np.concatenate([col[off], row[off]])
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    if len(r):
+        keep = np.empty(len(r), bool)
+        keep[0] = True
+        keep[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        r, c = r[keep], c[keep]
+    indptr = np.zeros(csr.nrows + 1, np.int64)
+    np.cumsum(np.bincount(r, minlength=csr.nrows), out=indptr[1:])
+    return indptr, c
+
+
+def rcm_permutation(csr) -> np.ndarray:
+    """Reverse Cuthill–McKee: ``perm[i]`` = old index of new row i."""
+    n = csr.nrows
+    indptr, indices = _sym_pattern(csr)
+    deg = np.diff(indptr)
+    visited = np.zeros(n, bool)
+    order = np.empty(n, np.int64)
+    pos = 0
+    unv_min = 0  # scan pointer for component starts
+    by_deg = np.argsort(deg, kind="stable")  # min-degree start nodes
+    while pos < n:
+        while visited[by_deg[unv_min]]:
+            unv_min += 1
+        start = by_deg[unv_min]
+        visited[start] = True
+        order[pos] = start
+        pos += 1
+        frontier = np.array([start], np.int64)
+        while len(frontier):
+            lens = deg[frontier]
+            total = int(lens.sum())
+            if total == 0:
+                break
+            starts = indptr[frontier]
+            offs = np.repeat(np.cumsum(lens) - lens, lens)
+            flat = np.arange(total) - offs + np.repeat(starts, lens)
+            nbrs = indices[flat]
+            parent = np.repeat(np.arange(len(frontier)), lens)
+            fresh = ~visited[nbrs]
+            nbrs, parent = nbrs[fresh], parent[fresh]
+            if len(nbrs) == 0:
+                break
+            # order by (parent rank, degree), dedup keeping first
+            key = np.lexsort((nbrs, deg[nbrs], parent))
+            snb = nbrs[key]
+            _, first = np.unique(snb, return_index=True)
+            frontier = snb[np.sort(first)]
+            visited[frontier] = True
+            order[pos : pos + len(frontier)] = frontier
+            pos += len(frontier)
+    return order[::-1].copy()  # the "reverse" in RCM
+
+
+def mean_bandwidth(csr) -> float:
+    """Mean |row - col| over stored nonzeros."""
+    if csr.nnz == 0:
+        return 0.0
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    return float(np.abs(row - csr.indices.astype(np.int64)).mean())
+
+
+def choose_reorder(csr, *, min_gain: float = 2.0):
+    """Return (perm | None, bw_before, bw_after): RCM if it shrinks the
+    mean bandwidth by ``min_gain``x, else None (identity)."""
+    from ..formats.csr import CSR
+
+    bw0 = mean_bandwidth(csr)
+    if bw0 <= 2 * 128:  # already block-local
+        return None, bw0, bw0
+    perm = rcm_permutation(csr)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(len(perm))
+    coo = csr.to_coo()
+    r, c = iperm[coo.row.astype(np.int64)], iperm[coo.col.astype(np.int64)]
+    if csr.symmetric:  # keep lower-triangle canonical form
+        swap = c > r
+        r[swap], c[swap] = c[swap], r[swap].copy()
+    from ..formats.coo import COO
+
+    permuted = CSR.from_coo(
+        COO(csr.nrows, csr.ncols, r, c, coo.val.copy(), csr.symmetric)
+    )
+    bw1 = mean_bandwidth(permuted)
+    if bw1 * min_gain > bw0:
+        info("reorder: rcm rejected (bw %.0f -> %.0f)", bw0, bw1)
+        return None, bw0, bw0
+    info("reorder: rcm accepted (bw %.0f -> %.0f)", bw0, bw1)
+    return (perm, permuted), bw0, bw1

@@ -39,16 +39,56 @@ class TunedMatrix:
     nnz_full: int
     symmetric: bool
     plan: object
-    _matvec: Callable
-    _matmat: Callable
+    operands: object  # device pytree threaded through jit as an ARGUMENT
+    _apply_mv: Callable  # pure (operands, x) -> y
+    _apply_mm: Callable  # pure (operands, X) -> Y
     spill_fraction: float  # far-stream fraction for symmetric plans
     padding_ratio: float
+    perm: np.ndarray | None = None  # RCM row order, if applied
+    #: un-permuted appliers + operands when RCM is applied (the wrapped
+    #: matvec pays two 1-D gathers per call — fine for one-shot applies,
+    #: ~20x the kernel cost in a solver loop, so solvers work in
+    #: permuted space via pure_apply + encode/decode)
+    _inner: tuple | None = None
 
     def matvec(self, x):
-        return self._matvec(x)
+        return self._apply_mv(self.operands, x)
 
     def matmat(self, x):
-        return self._matmat(x)
+        return self._apply_mm(self.operands, x)
+
+    def pure_apply(self):
+        """(fn, operands) with fn pure in its arguments — compose THIS
+        under outer jits (solvers, timing loops); closing over the bound
+        methods instead would inline the whole matrix stream as module
+        constants. When RCM reordering is active the returned fn works
+        in PERMUTED space: feed it ``encode(x)`` and ``decode`` the
+        result (norms are permutation-invariant, so solver scalars need
+        no translation)."""
+        if self._inner is not None:
+            mv, _, ops = self._inner
+            return mv, ops
+        return self._apply_mv, self.operands
+
+    def pure_apply_mm(self):
+        if self._inner is not None:
+            _, mm, ops = self._inner
+            return mm, ops
+        return self._apply_mm, self.operands
+
+    def encode(self, x):
+        """User space → internal (permuted) space."""
+        if self.perm is None:
+            return x
+        return x[self.perm]  # rows of a 2-D X permute the same way
+
+    def decode(self, y):
+        """Internal (permuted) space → user space."""
+        if self.perm is None:
+            return y
+        iperm = np.empty_like(self.perm)
+        iperm[self.perm] = np.arange(len(self.perm))
+        return y[iperm]
 
     def stream_bytes(self) -> int:
         return self.plan.stream_bytes()
@@ -62,6 +102,7 @@ def tune(
     tuning: Tuning = Tuning.AGGRESSIVE,
     dtype=np.float32,
     cache_dir: str | None = None,
+    reorder: bool | str = "auto",
 ) -> TunedMatrix:
     """Select a layout and build the tuned matrix.
 
@@ -72,6 +113,11 @@ def tune(
     ``Tuning.NONE`` on a symmetric matrix expands it and runs the
     one-sided kernel (the untuned-oracle path of the reference's
     differential tests, ``test_spmv_mmf.cpp:85-89``).
+
+    ``reorder``: bandwidth-reducing RCM permutation (the locality analog
+    of the reference's METIS placement, ``csr_matrix.tpp:543-639``).
+    ``"auto"`` applies it only when it shrinks the mean bandwidth 2x on a
+    scattered square matrix; ``True`` forces, ``False`` disables.
     """
     del kernel  # SpDMV/SpDMM share plans; both appliers are bound below
     from ..io.plancache import cached_build
@@ -102,22 +148,31 @@ def tune(
             )
         return _tune_fp64_xla(csr, fmt)
 
+    perm = None
+    if (
+        reorder
+        and tuning == Tuning.AGGRESSIVE
+        and csr.nrows == csr.ncols
+        and csr.nnz
+    ):
+        from .reorder import choose_reorder
+
+        res, _, _ = choose_reorder(
+            csr, min_gain=2.0 if reorder == "auto" else 1.0
+        )
+        if res is not None:
+            perm, csr = res
+
     if fmt in (Format.SSS, Format.HYB) and tuning == Tuning.AGGRESSIVE:
         plan = cached_build(
             lambda: build_sbell_plan(csr, dtype=dtype),
             csr, dtype, cache_dir, fmt="sbell",
         )
         dev = spmv_ops.sym_to_device(plan)
-
-        def matvec(x, dev=dev):
-            return spmv_ops.sbell_apply(dev, x)
-
-        def matmat(x, dev=dev):
-            return spmv_ops.sbell_apply_mm(dev, x)
-
         tuned = TunedMatrix(
             fmt, csr.nrows, csr.ncols, plan.nnz_full, True, plan,
-            matvec, matmat, plan.far_fraction, plan.padding_ratio,
+            dev, spmv_ops.sbell_apply, spmv_ops.sbell_apply_mm,
+            plan.far_fraction, plan.padding_ratio,
         )
     elif fmt in (Format.CSR, Format.BELL, Format.COO, Format.SSS, Format.HYB):
         src = csr.to_coo().expand_symmetric() if csr.symmetric else None
@@ -127,27 +182,51 @@ def tune(
             gen_csr, dtype, cache_dir, fmt="bell2",
         )
         dev = spmv_ops.to_device(plan)
-
-        def matvec(x, dev=dev):
-            return spmv_ops.bell2_apply(dev, x)
-
-        def matmat(x, dev=dev):
-            return spmv_ops.bell2_apply_mm(dev, x)
-
         tuned = TunedMatrix(
             Format.CSR, gen_csr.nrows, gen_csr.ncols, gen_csr.nnz,
-            csr.symmetric, plan, matvec, matmat,
+            csr.symmetric, plan,
+            dev, spmv_ops.bell2_apply, spmv_ops.bell2_apply_mm,
             0.0, plan.padding_ratio,
         )
     else:
         raise NotImplementedError(f"format {fmt}")
 
+    if perm is not None:
+        tuned = _permuted(tuned, perm)
     info(
-        "tune: fmt=%s nnz=%d pad=%.2fx far=%.4f",
+        "tune: fmt=%s nnz=%d pad=%.2fx far=%.4f reorder=%s",
         tuned.format, tuned.nnz_full, tuned.padding_ratio,
-        tuned.spill_fraction,
+        tuned.spill_fraction, perm is not None,
     )
     return tuned
+
+
+def _permuted(tuned: TunedMatrix, perm: np.ndarray) -> TunedMatrix:
+    """Wrap the appliers with the P A Pᵀ input/output gathers; the
+    permutation arrays travel inside the operands pytree."""
+    import jax.numpy as jnp
+
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(len(perm))
+    operands = {
+        "dev": tuned.operands,
+        "p": jnp.asarray(perm),
+        "ip": jnp.asarray(iperm),
+    }
+    inner_mv, inner_mm = tuned._apply_mv, tuned._apply_mm
+
+    def apply_mv(ops, x):
+        y = inner_mv(ops["dev"], jnp.take(x, ops["p"], axis=0))
+        return jnp.take(y, ops["ip"], axis=0)
+
+    def apply_mm(ops, x):
+        y = inner_mm(ops["dev"], jnp.take(x, ops["p"], axis=0))
+        return jnp.take(y, ops["ip"], axis=0)
+
+    return dataclasses.replace(
+        tuned, operands=operands, _apply_mv=apply_mv, _apply_mm=apply_mm,
+        perm=perm, _inner=(inner_mv, inner_mm, tuned.operands),
+    )
 
 
 @dataclasses.dataclass
@@ -170,20 +249,23 @@ def _tune_fp64_xla(csr: CSR, fmt: Format) -> TunedMatrix:
 
     coo = csr.to_coo().expand_symmetric() if csr.symmetric else csr.to_coo()
     nrows = csr.nrows
-    dev = CooDevicePlan(
-        jnp.asarray(coo.row.astype(np.int32)),
-        jnp.asarray(coo.col.astype(np.int32)),
-        jnp.asarray(coo.val.astype(np.float64)),
-    )
+    dev = {
+        "row": jnp.asarray(coo.row.astype(np.int32)),
+        "col": jnp.asarray(coo.col.astype(np.int32)),
+        "val": jnp.asarray(coo.val.astype(np.float64)),
+    }
 
-    def matvec(x, dev=dev):
-        return coo_spmv_xla(dev.row, dev.col, dev.val, x, nrows=nrows)
+    def apply_mv(ops, x):
+        return coo_spmv_xla(ops["row"], ops["col"], ops["val"], x,
+                            nrows=nrows)
 
-    def matmat(x, dev=dev):
-        return coo_spmm_xla(dev.row, dev.col, dev.val, x, nrows=nrows)
+    def apply_mm(ops, x):
+        return coo_spmm_xla(ops["row"], ops["col"], ops["val"], x,
+                            nrows=nrows)
 
     info("tune: fp64 on TPU -> XLA COO path, nnz=%d", coo.nnz)
     return TunedMatrix(
-        fmt, nrows, csr.ncols, coo.nnz, csr.symmetric, dev,
-        matvec, matmat, 0.0, 1.0,
+        fmt, nrows, csr.ncols, coo.nnz, csr.symmetric,
+        CooDevicePlan(dev["row"], dev["col"], dev["val"]),
+        dev, apply_mv, apply_mm, 0.0, 1.0,
     )

@@ -17,7 +17,36 @@ import time
 
 import numpy as np
 
-__all__ = ["time_matvec"]
+__all__ = ["time_matvec", "as_pure"]
+
+
+def as_pure(matvec, x=None):
+    """(fn(operands, x), operands) form of a matvec-like object.
+
+    ``TunedMatrix`` / ``SpDMV`` expose this natively (``x`` with ndim 2
+    selects the multi-RHS applier); bare callables get empty operands
+    (any arrays they capture then become jit constants — fine for small
+    closures, ruinous for matrix streams).
+
+    Returns (fn, operands, encode, decode); encode/decode map user space
+    to the internal (RCM-permuted) space and back — identity when no
+    reordering is active.
+    """
+    ident = lambda v: v  # noqa: E731
+    obj = matvec
+    if hasattr(obj, "__self__"):  # bound method (e.g. tuned.matvec)
+        obj = obj.__self__
+    if hasattr(obj, "A"):  # SpDMV functor → its SparseMatrix
+        obj = obj.A
+    if hasattr(obj, "tuned") and obj.tuned is not None:  # SparseMatrix
+        obj = obj.tuned
+    if hasattr(obj, "pure_apply"):  # TunedMatrix
+        if x is not None and getattr(x, "ndim", 1) == 2:
+            fn, ops = obj.pure_apply_mm()
+        else:
+            fn, ops = obj.pure_apply()
+        return fn, ops, obj.encode, obj.decode
+    return (lambda ops, x: matvec(x)), (), ident, ident
 
 
 def time_matvec(matvec, x, iters: int = 500, repeats: int = 5) -> float:
@@ -26,12 +55,17 @@ def time_matvec(matvec, x, iters: int = 500, repeats: int = 5) -> float:
     import jax.numpy as jnp
 
     x = jnp.asarray(x)
+    # device streams must flow through the jit as ARGUMENTS — a closure
+    # would inline the whole matrix into the module as constants (and
+    # closure_convert cannot rescue consts hidden in inner pjits)
+    fn, ops, encode, _ = as_pure(matvec, x)
+    x = jnp.asarray(encode(x))  # once, outside the timed loop
 
     @jax.jit
-    def loop(x, n):
+    def loop(x, n, ops):
         def body(i, carry):
             x, acc = carry
-            y = matvec(x * (1.0 + 1e-12 * i))
+            y = fn(ops, x * (1.0 + 1e-12 * i))
             # ravel + cast keeps the carry type fixed for 2-D / fp64 y
             return (x, acc + y.ravel()[0].astype(jnp.float32))
 
@@ -39,13 +73,13 @@ def time_matvec(matvec, x, iters: int = 500, repeats: int = 5) -> float:
             0, n, body, (x, jnp.float32(0.0))
         )
 
-    jax.block_until_ready(loop(x, 2 * iters))  # warmup / compile
+    jax.block_until_ready(loop(x, 2 * iters, ops))  # warmup / compile
 
     def timed(n):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            np.asarray(loop(x, n)[1])
+            np.asarray(loop(x, n, ops)[1])
             best = min(best, time.perf_counter() - t0)
         return best
 
