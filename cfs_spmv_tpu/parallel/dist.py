@@ -108,10 +108,14 @@ class DistSpDMV:
     (``sparse_kernel.hpp:17-27``) at pod scale.
     """
 
-    def __init__(self, A, mesh, *, dtype=np.float32):
+    def __init__(self, A, mesh, *, dtype=np.float32, dia_min_count=None):
+        from ..formats.sdia import SDIA_MIN_COUNT
         from ..matrix import SparseMatrix
 
         csr = A.csr if isinstance(A, SparseMatrix) else A
+        self.dia_min_count = (
+            SDIA_MIN_COUNT if dia_min_count is None else dia_min_count
+        )
         self.mesh = mesh
         self.ndev = mesh.shape[ROWS_AXIS]
         self.nrows = csr.nrows
@@ -201,19 +205,70 @@ class DistSpDMV:
         seg = col >> 7
         near = (tile // BT) == (seg // BT)
 
-        paired_plans, far_plans, diags = [], [], []
+        # --- per-shard near entries in local coordinates --------------
+        shard_near = []
+        for d in range(self.ndev):
+            r0, nr = self.real[d]
+            ns = (row >= r0) & (row < r0 + nr) & near
+            shard_near.append(
+                ((row[ns] - r0), (col[ns] - r0), val[ns])
+            )
+
+        # --- union of qualifying dense diagonals (offsets are STATIC in
+        # the kernel trace, so the SPMD program needs one shared tuple;
+        # zero-filled planes cover shards missing a diagonal) -----------
+        from ..formats.sdia import SDIA_FILL, SDIA_MAX_D
+
+        union: set[int] = set()
+        for nr_, nc_, _ in shard_near:
+            if not len(nr_):
+                continue
+            offd = nr_ - nc_
+            uniq, cnt = np.unique(offd, return_counts=True)
+            length = np.maximum(self.shard_rows - uniq, 1)
+            ok = (uniq > 0) & (cnt >= self.dia_min_count) & (
+                cnt >= SDIA_FILL * length
+            )
+            union.update(int(o) for o in uniq[ok])
+        self.dia_offsets = tuple(sorted(union)[:SDIA_MAX_D])
+
+        paired_plans, far_plans, diags, dia_vals = [], [], [], []
+        from ..formats.sdia import BLOCK_ROWS
+        from ..ops.sdia_kernel import _blocks_per_step
+
+        Du = len(self.dia_offsets)
+        R_loc = -(-self.shard_rows // BLOCK_ROWS)
+        if Du:
+            RB = _blocks_per_step(
+                R_loc, Du, np.dtype(self.dtype).itemsize
+            )
+            R_loc = -(-R_loc // RB) * RB
+        dmap = {o: j for j, o in enumerate(self.dia_offsets)}
+
         for d in range(self.ndev):
             r0, nr = self.real[d]
             r1 = r0 + nr
-            in_shard = (row >= r0) & (row < r1)
-            ns = in_shard & near
-            fs = in_shard & ~near
-            # near: fully local coordinates
+            nr_, nc_, nv_ = shard_near[d]
+            if Du:
+                offd = nr_ - nc_
+                on_dia = np.isin(offd, self.dia_offsets)
+                dv = np.zeros((R_loc, Du, 8, LANES), self.dtype)
+                g = nr_[on_dia]
+                j = np.array(
+                    [dmap[int(o)] for o in offd[on_dia]], np.int64
+                ) if on_dia.any() else np.zeros(0, np.int64)
+                dv[g // BLOCK_ROWS, j, (g // LANES) % 8, g % LANES] = (
+                    nv_[on_dia].astype(self.dtype)
+                )
+                dia_vals.append(dv)
+                nr_, nc_, nv_ = nr_[~on_dia], nc_[~on_dia], nv_[~on_dia]
+            fs = (row >= r0) & (row < r1) & ~near
+            # near residual: fully local coordinates
             ncoo = COO(
                 self.shard_rows, self.shard_rows,
-                (row[ns] - r0).astype(np.int32),
-                (col[ns] - r0).astype(np.int32),
-                val[ns].astype(self.dtype),
+                nr_.astype(np.int32),
+                nc_.astype(np.int32),
+                nv_.astype(self.dtype),
                 symmetric=True,
             )
             paired_plans.append(
@@ -221,8 +276,7 @@ class DistSpDMV:
                     CSR.from_coo(ncoo), dtype=self.dtype,
                     chunks_per_step=self.K, tiles_per_block=BT,
                     transpose_windows=2,
-                    # per-shard SDIA streams are not stacked yet; the
-                    # sharded path keeps the uniform paired layout
+                    # shard SDIA is handled above with union offsets
                     dia=False,
                 )
             )
@@ -268,6 +322,7 @@ class DistSpDMV:
             ps.append(np.pad(sb, (0, G_max - len(sb)), constant_values=last))
             # the paired plan's internal far residual (greedy leftovers)
             # stays a separate local one-sided stream
+        self._dia = np.stack(dia_vals) if Du else None
         self._paired = (np.stack(pv), np.stack(pp), np.stack(pm), np.stack(ps))
         self._paired_far = [p.far for p in paired_plans]
         self._far = _pad_bell2(far_plans, self.dtype)
@@ -302,12 +357,15 @@ class DistSpDMV:
             self._paired = put(self._paired)
         if getattr(self, "_pfar", None) is not None:
             self._pfar = put(self._pfar)
+        if getattr(self, "_dia", None) is not None:
+            (self._dia,) = put((self._dia,))
         if self._diag is not None:
             (self._diag,) = put((self._diag,))
 
     # ------------------------------------------------------------------
     def _build(self):
         from ..ops.bell2_kernel import bell2_spmv_tiles, sbell_spmv_tiles
+        from ..ops.sdia_kernel import sdia_sym_tiles
         from ..ops.spmv import use_interpret
 
         ndev = self.ndev
@@ -321,6 +379,8 @@ class DistSpDMV:
         x_rows_full = self._x_rows_full
         x_rows_loc = S // LANES
         pfar = getattr(self, "_pfar", None)
+        dia = getattr(self, "_dia", None)
+        dia_offsets = getattr(self, "dia_offsets", ())
 
         def one_sided(arrs, x2d, tiles):
             vals, qidx, meta, steps = (a[0] for a in arrs)
@@ -331,7 +391,7 @@ class DistSpDMV:
             )
             return out.reshape(-1)[:S]
 
-        def shard_fn(far, paired, pfar_arrs, diag, x_sh):
+        def shard_fn(far, paired, pfar_arrs, dia_v, diag, x_sh):
             x_loc = x_sh[0]
             y = jnp.zeros((S,), x_loc.dtype)
             if sym:
@@ -343,6 +403,11 @@ class DistSpDMV:
                     tiles_per_block=BT, transpose_windows=2,
                     interpret=interpret,
                 )
+                if dia_v is not None:
+                    tiles = sdia_sym_tiles(
+                        dia_v[0], x2d_loc, tiles,
+                        offsets=dia_offsets, interpret=interpret,
+                    )
                 y = y + tiles.reshape(-1)[:S] + diag[0] * x_loc
                 if pfar_arrs is not None:
                     y = y + one_sided(pfar_arrs, x2d_loc, T_loc)
@@ -361,6 +426,7 @@ class DistSpDMV:
             P(ROWS_AXIS),
             P(ROWS_AXIS) if sym else None,
             P(ROWS_AXIS) if (sym and pfar is not None) else None,
+            P(ROWS_AXIS) if (sym and dia is not None) else None,
             P(ROWS_AXIS) if sym else None,
             P(ROWS_AXIS),
         )
@@ -374,7 +440,7 @@ class DistSpDMV:
         )
 
         @jax.jit
-        def run(far, paired, pfar_a, diag, x):
+        def run(far, paired, pfar_a, dia_a, diag, x):
             segs = []
             xp = jnp.pad(x, (0, S))
             for d in range(ndev):
@@ -382,7 +448,7 @@ class DistSpDMV:
                 seg = jax.lax.dynamic_slice_in_dim(xp, r0, S)
                 segs.append(jnp.where(jnp.arange(S) < nr, seg, 0))
             x_sh = jnp.stack(segs)
-            y_sh = smapped(far, paired, pfar_a, diag, x_sh)
+            y_sh = smapped(far, paired, pfar_a, dia_a, diag, x_sh)
             outs = [y_sh[d, : real[d][1]] for d in range(ndev)]
             return jnp.concatenate(outs)[:n]
 
@@ -394,7 +460,7 @@ class DistSpDMV:
             raise ValueError(f"x must be ({self.ncols},), got {x.shape}")
         return self._fn(
             self._far, self._paired, getattr(self, "_pfar", None),
-            self._diag, x,
+            getattr(self, "_dia", None), self._diag, x,
         )
 
 

@@ -99,3 +99,61 @@ def test_dist_dim_check(mesh8):
     dsp = DistSpDMV(CSR.from_coo(coo), mesh8, dtype=np.float64)
     with pytest.raises(ValueError):
         dsp(np.ones(299))
+
+
+def test_dist_symmetric_with_dia(mesh8):
+    """Banded symmetric matrix: the sharded path peels union-offset
+    dense diagonals into per-shard SDIA streams."""
+    n, half_bw = 4096, 6
+    rng = np.random.default_rng(7)
+    rows = np.repeat(np.arange(n, dtype=np.int64), half_bw)
+    offs = np.tile(np.arange(1, half_bw + 1, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    r = np.concatenate([rows[keep], np.arange(n)])
+    c = np.concatenate([cols[keep], np.arange(n)])
+    v = np.concatenate(
+        [rng.uniform(-1, 1, keep.sum()), rng.uniform(1, 2, n)]
+    )
+    csr = CSR.from_coo(
+        COO(n, n, r.astype(np.int32), c.astype(np.int32), v,
+            symmetric=True).canonicalize()
+    )
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64, dia_min_count=8)
+    assert len(dsp.dia_offsets) >= half_bw  # diagonals reached SDIA
+    x = random_x(n, np.float64)
+    y = np.asarray(dsp(x))
+    assert allclose_spmv(
+        y, csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=2 * half_bw + 1,
+        scale=csr.spmv_host(x, absolute=True),
+    )
+
+
+def test_dist_mixed_dia_residual(mesh8):
+    """Band + scattered noise: SDIA, paired residual and far streams all
+    active across shards."""
+    n = 3000
+    rng = np.random.default_rng(8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), 4)
+    offs = np.tile(np.arange(1, 5, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    scat = COO.random(n, n, 2.0, symmetric=True, seed=9, dtype=np.float64)
+    r = np.concatenate([rows[keep], scat.row, np.arange(n)])
+    c = np.concatenate([cols[keep], scat.col, np.arange(n)])
+    v = np.concatenate(
+        [rng.uniform(-1, 1, keep.sum()), scat.val, rng.uniform(1, 2, n)]
+    )
+    csr = CSR.from_coo(
+        COO(n, n, r.astype(np.int64), c.astype(np.int64), v,
+            symmetric=True).canonicalize()
+    )
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64, dia_min_count=8)
+    x = random_x(n, np.float64)
+    y = np.asarray(dsp(x))
+    assert allclose_spmv(
+        y, csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=csr.to_coo().nnz_full / n,
+        scale=csr.spmv_host(x, absolute=True),
+    )
