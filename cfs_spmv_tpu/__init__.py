@@ -13,7 +13,10 @@ from .formats.coo import COO
 from .formats.csr import CSR
 from .matrix import SparseMatrix
 from .models.spdmv import SpDMM, SpDMV
+from .utils.config import apply_jax_compile_cache as _cc
 from .utils.platform import Format, Kernel, Platform, Tuning, is_equal
+
+_cc()  # honor CFS_COMPILE_CACHE before any backend work
 
 __version__ = "0.1.0"
 
