@@ -45,6 +45,7 @@ class TunedMatrix:
     spill_fraction: float  # far-stream fraction for symmetric plans
     padding_ratio: float
     perm: np.ndarray | None = None  # RCM row order, if applied
+    bsr: object | None = None  # BSR host container when fmt=BSR
     #: un-permuted appliers + operands when RCM is applied (the wrapped
     #: matvec pays two 1-D gathers per call — fine for one-shot applies,
     #: ~20x the kernel cost in a solver loop, so solvers work in
@@ -131,6 +132,17 @@ def tune(
             if (csr.symmetric and tuning == Tuning.AGGRESSIVE)
             else Format.CSR
         )
+    bsr = None
+    if fmt == Format.BSR:
+        # BSR is a host-format contract (block detection + 1/b² index
+        # storage, formats/bsr.py); the tuned execution path is shared —
+        # TPU kernels exploit block structure via diagonal units, not
+        # block indexing.
+        from ..formats.bsr import BSR, detect_block_size
+
+        bsr = BSR.from_csr(csr, detect_block_size(csr))
+        fmt = Format.SSS if csr.symmetric else Format.CSR
+
     if fmt in (Format.SSS, Format.HYB) and not csr.symmetric:
         raise ValueError(f"format {fmt} requires a symmetric matrix")
 
@@ -193,6 +205,8 @@ def tune(
 
     if perm is not None:
         tuned = _permuted(tuned, perm)
+    if bsr is not None:
+        tuned = dataclasses.replace(tuned, format=Format.BSR, bsr=bsr)
     info(
         "tune: fmt=%s nnz=%d pad=%.2fx far=%.4f reorder=%s",
         tuned.format, tuned.nnz_full, tuned.padding_ratio,

@@ -48,3 +48,32 @@ def test_env_flag(monkeypatch):
     assert config_mod.env_flag("CFS_LOG", False)
     monkeypatch.setenv("CFS_LOG", "0")
     assert not config_mod.env_flag("CFS_LOG", True)
+
+
+def test_roofline_report():
+    import numpy as np
+
+    from cfs_spmv_tpu import COO, CSR, Format
+    from cfs_spmv_tpu.tuning.tune import tune
+    from cfs_spmv_tpu.utils.trace import report_spmv
+
+    coo = COO.random(800, 800, 5.0, symmetric=True, bandwidth=40, seed=0)
+    t = tune(CSR.from_coo(coo), fmt=Format.SSS)
+    rep = report_spmv(t, t_iter=10e-6)
+    assert rep.nnz_per_s == t.nnz_full / 10e-6
+    assert 0 < rep.sol_fraction
+    assert "Gnnz/s" in str(rep)
+
+
+def test_profile_context(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from cfs_spmv_tpu.utils.trace import profile
+
+    try:
+        with profile(str(tmp_path)):
+            jnp.sum(jnp.ones(16)).block_until_ready()
+    except Exception:  # profiler unavailable in some CPU builds
+        return
+    assert any(tmp_path.iterdir())
