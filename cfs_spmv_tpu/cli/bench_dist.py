@@ -1,0 +1,95 @@
+"""Distributed SpMV benchmark over the device mesh.
+
+Scaling harness for BASELINE configs 4/5 (multi-host row-partitioned
+SpMV, weak/strong scaling): runs DistSpDMV on 1..N devices and reports
+per-iteration time, Gnnz/s and parallel efficiency. On a CPU backend
+the timings exercise the code path but are not TPU-representative.
+
+Usage: python -m cfs_spmv_tpu.cli.bench_dist <file.mtx> <iters>
+       [--devices N] [--weak]
+
+``--weak`` replicates the matrix block-diagonally per device (weak
+scaling: constant work per device) instead of splitting it (strong).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _block_diag_replicate(csr, k: int):
+    """k copies of A on the diagonal (weak-scaling workload)."""
+    from ..formats.coo import COO
+    from ..formats.csr import CSR
+
+    coo = csr.to_coo()
+    n = csr.nrows
+    r = np.concatenate([coo.row.astype(np.int64) + i * n for i in range(k)])
+    c = np.concatenate([coo.col.astype(np.int64) + i * n for i in range(k)])
+    v = np.tile(coo.val, k)
+    return CSR.from_coo(
+        COO(n * k, csr.ncols * k, r, c, v, csr.symmetric)
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(
+            "Usage: python -m cfs_spmv_tpu.cli.bench_dist <mmf_file> "
+            "<iters> [--devices N] [--weak]",
+            file=sys.stderr,
+        )
+        return 1
+    import jax
+
+    from .. import Format, SparseMatrix
+    from ..parallel.dist import DistSpDMV
+    from ..parallel.mesh import make_mesh
+    from ..utils.timing import time_matvec
+
+    mmf_file, loops = argv[0], int(argv[1])
+    rest = argv[2:]
+    ndev_max = (
+        int(rest[rest.index("--devices") + 1])
+        if "--devices" in rest
+        else len(jax.devices())
+    )
+    weak = "--weak" in rest
+
+    A = SparseMatrix.create(mmf_file, Format.CSR)
+    base = None
+    rows = []
+    ndev = 1
+    while ndev <= ndev_max:
+        csr = _block_diag_replicate(A.csr, ndev) if weak else A.csr
+        mesh = make_mesh(ndev)
+        t0 = time.perf_counter()
+        dsp = DistSpDMV(csr, mesh)
+        preproc = time.perf_counter() - t0
+        x = np.random.default_rng(0).uniform(
+            0.01, 0.42, csr.ncols
+        ).astype(np.float32)
+        t_iter = time_matvec(dsp, x, iters=loops)
+        nnz = dsp.nnz_full
+        if base is None:
+            base = t_iter if weak else t_iter * 1.0
+        eff = (
+            base / t_iter if weak  # weak: flat time = 100%
+            else base / (t_iter * ndev)  # strong: linear speedup = 100%
+        )
+        rows.append((ndev, preproc, t_iter, nnz / t_iter, eff))
+        print(
+            f"devices: {ndev} preproc(sec): {preproc:.4g} "
+            f"t(sec): {t_iter:.4g} nnz/s: {nnz / t_iter:.4g} "
+            f"efficiency: {100 * eff:.0f}%"
+        )
+        ndev *= 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -458,10 +458,33 @@ class DistSpDMV:
         x = jnp.asarray(x, self.dtype)
         if x.shape != (self.ncols,):
             raise ValueError(f"x must be ({self.ncols},), got {x.shape}")
-        return self._fn(
+        fn, ops = self.pure_apply()
+        return fn(ops, x)
+
+    # --- pure-apply protocol (see utils.timing.as_pure): operands flow
+    # as jit arguments so solver/timing loops never embed the sharded
+    # streams as module constants -------------------------------------
+    def pure_apply(self):
+        operands = (
             self._far, self._paired, getattr(self, "_pfar", None),
-            getattr(self, "_dia", None), self._diag, x,
+            getattr(self, "_dia", None), self._diag,
         )
+        inner = self._fn
+
+        def fn(ops, x):
+            return inner(*ops, x)
+
+        return fn, operands
+
+    pure_apply_mm = pure_apply  # single-RHS only; dim check is in __call__
+
+    @staticmethod
+    def encode(x):
+        return x
+
+    @staticmethod
+    def decode(y):
+        return y
 
 
 def _empty_like_bell2(nrows, ncols, dtype, K, BT):

@@ -63,3 +63,19 @@ def test_cli_bench_harness(mtx_path, capsys):
 def test_cli_bench_spmm(mtx_path, capsys):
     assert run_bench_cli([mtx_path, "1", "4", "--rhs", "8"]) == 0
     assert "SSS-MM8" in capsys.readouterr().out
+
+
+def test_cli_bench_dist(mtx_path, capsys):
+    from cfs_spmv_tpu.cli.bench_dist import main as run_dist_cli
+
+    assert run_dist_cli([mtx_path, "4", "--devices", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "devices: 1" in out and "devices: 2" in out
+    assert "efficiency:" in out
+
+
+def test_cli_bench_dist_weak(mtx_path, capsys):
+    from cfs_spmv_tpu.cli.bench_dist import main as run_dist_cli
+
+    assert run_dist_cli([mtx_path, "4", "--devices", "2", "--weak"]) == 0
+    assert "efficiency:" in capsys.readouterr().out
