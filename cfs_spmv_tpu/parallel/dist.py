@@ -108,7 +108,8 @@ class DistSpDMV:
     (``sparse_kernel.hpp:17-27``) at pod scale.
     """
 
-    def __init__(self, A, mesh, *, dtype=np.float32, dia_min_count=None):
+    def __init__(self, A, mesh, *, dtype=np.float32, dia_min_count=None,
+                 comm: str = "gather"):
         from ..formats.sdia import SDIA_MIN_COUNT
         from ..matrix import SparseMatrix
 
@@ -116,6 +117,14 @@ class DistSpDMV:
         self.dia_min_count = (
             SDIA_MIN_COUNT if dia_min_count is None else dia_min_count
         )
+        if comm not in ("gather", "ring"):
+            raise ValueError(f"comm must be 'gather' or 'ring', got {comm}")
+        #: halo strategy for the far stream: "gather" = one all_gather of
+        #: x; "ring" = ndev ppermute rotations of the local x segment,
+        #: each overlapped with the partial SpMV against that segment's
+        #: columns (the overlapped-halo-exchange structure of BASELINE
+        #: config 4; SURVEY §5's ring analog)
+        self.comm = comm
         self.mesh = mesh
         self.ndev = mesh.shape[ROWS_AXIS]
         self.nrows = csr.nrows
@@ -139,23 +148,42 @@ class DistSpDMV:
         self._fn = self._build()
 
     # ------------------------------------------------------------------
+    def _build_ring_far(self, entries):
+        """Ring-mode far streams: ``entries[d] = (local_row, global_col,
+        val)``. Returns one stacked accumulating BELL2 stream per ring
+        step k; slice [k][d] holds shard d's entries whose columns live
+        on device (d + k) % ndev, in that device's local coordinates —
+        so step k of the rotation applies them against the x segment
+        just received."""
+        self.K_ring = min(self.K, 32)
+        per_k = [[None] * self.ndev for _ in range(self.ndev)]
+        for d in range(self.ndev):
+            lr, gc, v = entries[d]
+            for k in range(self.ndev):
+                e = (d + k) % self.ndev
+                c0, nc = self.real[e]
+                m = (gc >= c0) & (gc < c0 + nc)
+                fcoo = COO(
+                    self.shard_rows, self.shard_rows,
+                    lr[m].astype(np.int32),
+                    (gc[m] - c0).astype(np.int32),
+                    v[m].astype(self.dtype),
+                )
+                per_k[k][d] = build_bell2_plan(
+                    CSR.from_coo(fcoo), dtype=self.dtype,
+                    chunks_per_step=self.K_ring, tiles_per_block=self.BT,
+                    cover_all_tiles=False,
+                )
+        return tuple(
+            _pad_bell2(per_k[k], self.dtype) for k in range(self.ndev)
+        )
+
+    # ------------------------------------------------------------------
     def _init_general(self, csr: CSR):
         bounds = shard_csr_rows(csr, self.ndev, align_tiles=1)
         T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
         self.shard_rows = T_max * LANES
         self.nnz_full = csr.nnz
-        plans = []
-        for d in range(self.ndev):
-            r0 = min(int(bounds[d]) * LANES, csr.nrows)
-            r1 = min(int(bounds[d + 1]) * LANES, csr.nrows)
-            shard = _slice_csr_rows(csr, r0, r1, self.shard_rows)
-            shard.symmetric = False
-            plans.append(
-                build_bell2_plan(
-                    shard, dtype=self.dtype,
-                    chunks_per_step=self.K, tiles_per_block=self.BT,
-                )
-            )
         self.bounds = bounds
         self.real = [
             (min(int(bounds[d]) * LANES, csr.nrows),
@@ -163,9 +191,35 @@ class DistSpDMV:
              - min(int(bounds[d]) * LANES, csr.nrows))
             for d in range(self.ndev)
         ]
-        self._far = _pad_bell2(plans, self.dtype)
+        if self.comm == "ring":
+            entries = []
+            for d in range(self.ndev):
+                r0, nr = self.real[d]
+                shard = _slice_csr_rows(csr, r0, r0 + nr, self.shard_rows)
+                lr = np.repeat(
+                    np.arange(self.shard_rows, dtype=np.int64),
+                    np.diff(shard.indptr),
+                )
+                entries.append(
+                    (lr, shard.indices.astype(np.int64), shard.data)
+                )
+            self._far = self._build_ring_far(entries)
+            self._x_rows_full = self.shard_rows // LANES
+        else:
+            plans = []
+            for d in range(self.ndev):
+                r0, nr = self.real[d]
+                shard = _slice_csr_rows(csr, r0, r0 + nr, self.shard_rows)
+                shard.symmetric = False
+                plans.append(
+                    build_bell2_plan(
+                        shard, dtype=self.dtype,
+                        chunks_per_step=self.K, tiles_per_block=self.BT,
+                    )
+                )
+            self._far = _pad_bell2(plans, self.dtype)
+            self._x_rows_full = plans[0].x_rows
         self._far_tiles = T_max
-        self._x_rows_full = plans[0].x_rows
         self._paired = None
         self._diag = None
 
@@ -285,17 +339,22 @@ class DistSpDMV:
             mr = np.concatenate([row[fs], col[~near & (col >= r0) & (col < r1)]])
             mc = np.concatenate([col[fs], row[~near & (col >= r0) & (col < r1)]])
             mv = np.concatenate([val[fs], val[~near & (col >= r0) & (col < r1)]])
-            fcoo = COO(
-                self.shard_rows, csr.ncols,
-                (mr - r0).astype(np.int32), mc.astype(np.int32),
-                mv.astype(self.dtype),
-            )
-            far_plans.append(
-                build_bell2_plan(
-                    CSR.from_coo(fcoo), dtype=self.dtype,
-                    chunks_per_step=self.K, tiles_per_block=BT,
+            if self.comm == "ring":
+                far_plans.append(
+                    ((mr - r0).astype(np.int64), mc.astype(np.int64), mv)
                 )
-            )
+            else:
+                fcoo = COO(
+                    self.shard_rows, csr.ncols,
+                    (mr - r0).astype(np.int32), mc.astype(np.int32),
+                    mv.astype(self.dtype),
+                )
+                far_plans.append(
+                    build_bell2_plan(
+                        CSR.from_coo(fcoo), dtype=self.dtype,
+                        chunks_per_step=self.K, tiles_per_block=BT,
+                    )
+                )
             dg = np.zeros(self.shard_rows, self.dtype)
             dg[:nr] = diag[r0:r1]
             diags.append(dg)
@@ -325,9 +384,13 @@ class DistSpDMV:
         self._dia = np.stack(dia_vals) if Du else None
         self._paired = (np.stack(pv), np.stack(pp), np.stack(pm), np.stack(ps))
         self._paired_far = [p.far for p in paired_plans]
-        self._far = _pad_bell2(far_plans, self.dtype)
+        if self.comm == "ring":
+            self._far = self._build_ring_far(far_plans)
+            self._x_rows_full = self.shard_rows // LANES
+        else:
+            self._far = _pad_bell2(far_plans, self.dtype)
+            self._x_rows_full = far_plans[0].x_rows
         self._far_tiles = T_max
-        self._x_rows_full = far_plans[0].x_rows
         self._diag = np.stack(diags)
 
         # stack paired-internal far residuals (local coords) if any
@@ -352,7 +415,10 @@ class DistSpDMV:
                 jax.device_put(jnp.asarray(a), sharded) for a in arrs
             )
 
-        self._far = put(self._far)
+        if self.comm == "ring":
+            self._far = tuple(put(t) for t in self._far)
+        else:
+            self._far = put(self._far)
         if self._paired is not None:
             self._paired = put(self._paired)
         if getattr(self, "_pfar", None) is not None:
@@ -364,7 +430,11 @@ class DistSpDMV:
 
     # ------------------------------------------------------------------
     def _build(self):
-        from ..ops.bell2_kernel import bell2_spmv_tiles, sbell_spmv_tiles
+        from ..ops.bell2_kernel import (
+            bell2_spmv_tiles,
+            bell2_spmv_tiles_accum,
+            sbell_spmv_tiles,
+        )
         from ..ops.sdia_kernel import sdia_sym_tiles
         from ..ops.spmv import use_interpret
 
@@ -375,12 +445,15 @@ class DistSpDMV:
         sym = self._paired is not None
         real = self.real
         K, BT = self.K, self.BT
+        K_ring = getattr(self, "K_ring", K)
+        ring = self.comm == "ring"
         T_loc = self._far_tiles
         x_rows_full = self._x_rows_full
         x_rows_loc = S // LANES
         pfar = getattr(self, "_pfar", None)
         dia = getattr(self, "_dia", None)
         dia_offsets = getattr(self, "dia_offsets", ())
+        dtype = self.dtype
 
         def one_sided(arrs, x2d, tiles):
             vals, qidx, meta, steps = (a[0] for a in arrs)
@@ -393,10 +466,10 @@ class DistSpDMV:
 
         def shard_fn(far, paired, pfar_arrs, dia_v, diag, x_sh):
             x_loc = x_sh[0]
+            x2d_loc = x_loc.reshape(x_rows_loc, LANES)
             y = jnp.zeros((S,), x_loc.dtype)
             if sym:
                 pv, pp, pm, ps = (a[0] for a in paired)
-                x2d_loc = x_loc.reshape(x_rows_loc, LANES)
                 tiles = sbell_spmv_tiles(
                     pv, pp, pm, ps, x2d_loc,
                     num_row_tiles=T_loc, chunks_per_step=K,
@@ -408,18 +481,47 @@ class DistSpDMV:
                         dia_v[0], x2d_loc, tiles,
                         offsets=dia_offsets, interpret=interpret,
                     )
-                y = y + tiles.reshape(-1)[:S] + diag[0] * x_loc
+                y = y + diag[0] * x_loc
                 if pfar_arrs is not None:
                     y = y + one_sided(pfar_arrs, x2d_loc, T_loc)
-            # far/general stream needs full x
-            xg = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=False)
-            parts = [xg[d, : real[d][1]] for d in range(ndev)]
-            x_full = jnp.concatenate(parts)[:n] if ndev > 1 else parts[0]
-            pad_len = x_rows_full * LANES - x_full.shape[0]
-            x2d_full = jnp.pad(x_full, (0, pad_len)).reshape(
-                x_rows_full, LANES
-            )
-            y = y + one_sided(far, x2d_full, T_loc)
+            else:
+                tiles = jnp.zeros((T_loc, LANES), dtype)
+
+            if ring:
+                # rotate x segments around the ring; each arriving
+                # segment is consumed by the far sub-stream holding the
+                # columns that segment owns — compute overlaps the next
+                # permute (async collectives)
+                TP = -(-T_loc // BT) * BT
+                tp = jnp.pad(tiles, ((0, TP - tiles.shape[0]), (0, 0)))
+                xs = x_loc
+                for k in range(ndev):
+                    vals, qidx, meta, steps = (a[0] for a in far[k])
+                    tp = bell2_spmv_tiles_accum(
+                        vals, qidx, meta, steps,
+                        xs.reshape(x_rows_loc, LANES), tp,
+                        num_row_tiles=T_loc, chunks_per_step=K_ring,
+                        tiles_per_block=BT, interpret=interpret,
+                    )
+                    if k + 1 < ndev:
+                        xs = jax.lax.ppermute(
+                            xs, ROWS_AXIS,
+                            [(i, (i - 1) % ndev) for i in range(ndev)],
+                        )
+                y = y + tp[:T_loc].reshape(-1)[:S]
+            else:
+                # far/general stream needs full x: one all_gather
+                y = y + tiles.reshape(-1)[:S]
+                xg = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=False)
+                parts = [xg[d, : real[d][1]] for d in range(ndev)]
+                x_full = (
+                    jnp.concatenate(parts)[:n] if ndev > 1 else parts[0]
+                )
+                pad_len = x_rows_full * LANES - x_full.shape[0]
+                x2d_full = jnp.pad(x_full, (0, pad_len)).reshape(
+                    x_rows_full, LANES
+                )
+                y = y + one_sided(far, x2d_full, T_loc)
             return y[None]
 
         in_specs = (

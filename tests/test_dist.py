@@ -157,3 +157,59 @@ def test_dist_mixed_dia_residual(mesh8):
         nnz_per_row=csr.to_coo().nnz_full / n,
         scale=csr.spmv_host(x, absolute=True),
     )
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_dist_ring_matches_gather(mesh8, sym):
+    """Ring halo exchange (ppermute rotation) must equal the all-gather
+    path and the host oracle."""
+    coo = COO.random(
+        1700, 1700, 6.0, symmetric=sym, bandwidth=400, seed=11,
+        dtype=np.float64,
+    )
+    csr = CSR.from_coo(coo)
+    x = random_x(1700, np.float64)
+    yg = np.asarray(DistSpDMV(csr, mesh8, dtype=np.float64)(x))
+    yr = np.asarray(
+        DistSpDMV(csr, mesh8, dtype=np.float64, comm="ring")(x)
+    )
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert allclose_spmv(yr, ref, dtype=np.float64, nnz_per_row=12,
+                         scale=scale)
+    np.testing.assert_allclose(yr, yg, rtol=1e-12, atol=1e-9)
+
+
+def test_dist_ring_with_dia(mesh8):
+    """Ring mode composes with the sharded SDIA stream."""
+    n, half_bw = 4096, 5
+    rng = np.random.default_rng(13)
+    rows = np.repeat(np.arange(n, dtype=np.int64), half_bw)
+    offs = np.tile(np.arange(1, half_bw + 1, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    scat = COO.random(n, n, 1.0, symmetric=True, seed=14, dtype=np.float64)
+    r = np.concatenate([rows[keep], scat.row, np.arange(n)])
+    c = np.concatenate([cols[keep], scat.col, np.arange(n)])
+    v = np.concatenate(
+        [rng.uniform(-1, 1, keep.sum()), scat.val, rng.uniform(1, 2, n)]
+    )
+    csr = CSR.from_coo(
+        COO(n, n, r, c, v, symmetric=True).canonicalize()
+    )
+    dsp = DistSpDMV(
+        csr, mesh8, dtype=np.float64, dia_min_count=8, comm="ring"
+    )
+    x = random_x(n, np.float64)
+    y = np.asarray(dsp(x))
+    assert allclose_spmv(
+        y, csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=csr.to_coo().nnz_full / n,
+        scale=csr.spmv_host(x, absolute=True),
+    )
+
+
+def test_dist_comm_validation(mesh8):
+    coo = COO.random(300, 300, 3.0, seed=5, dtype=np.float64)
+    with pytest.raises(ValueError):
+        DistSpDMV(CSR.from_coo(coo), mesh8, comm="nope")
