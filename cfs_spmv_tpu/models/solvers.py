@@ -9,7 +9,6 @@ runs inside one ``lax.scan``-style jit with no host round-trips.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -23,7 +23,6 @@ enforced by layout instead of coloring.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ multi-host with xla_force_host_platform_device_count).
 Differential: distributed result must match the serial host oracle and
 the single-chip path bit-for-bit-tolerance-wise."""
 
-import jax
 import numpy as np
 import pytest
 

@@ -12,7 +12,6 @@ import pytest
 from cfs_spmv_tpu import COO, CSR, native
 from cfs_spmv_tpu.formats.bell2 import build_bell2_plan
 from cfs_spmv_tpu.io.mmf import read_mmf
-from cfs_spmv_tpu.utils import config as config_mod
 
 
 requires_native = pytest.mark.skipif(

@@ -6,11 +6,7 @@ import numpy as np
 
 from cfs_spmv_tpu.formats.coo import COO
 from cfs_spmv_tpu.formats.csr import CSR
-from cfs_spmv_tpu.tuning.reorder import (
-    choose_reorder,
-    mean_bandwidth,
-    rcm_permutation,
-)
+from cfs_spmv_tpu.tuning.reorder import choose_reorder, rcm_permutation
 from cfs_spmv_tpu.tuning.tune import tune
 from cfs_spmv_tpu.utils.platform import Format, allclose_spmv
 

@@ -5,7 +5,6 @@ Differential oracle pattern of the reference test harness
 """
 
 import numpy as np
-import pytest
 
 from cfs_spmv_tpu.formats.coo import COO
 from cfs_spmv_tpu.formats.csr import CSR

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cfs_spmv_tpu import COO, CSR, Format, SpDMV, SparseMatrix
+from cfs_spmv_tpu import COO, CSR, Format
 from cfs_spmv_tpu.models import solvers
 from cfs_spmv_tpu.tuning.tune import tune
 
