@@ -85,6 +85,40 @@ class CSR:
                  coo.val[upper], False)
         return CSR.from_coo(lo), diag, CSR.from_coo(up)
 
+    def validate(self) -> "CSR":
+        """Structural checks (the reference exits on bad input at parse
+        time, ``mmf.hpp:189,210-236``; here malformed user-built arrays
+        get a diagnosable error instead of a wrong kernel result)."""
+        if self.indptr.shape != (self.nrows + 1,):
+            raise ValueError(
+                f"indptr has {self.indptr.shape[0]} entries, want "
+                f"nrows+1={self.nrows + 1}"
+            )
+        if self.indptr[0] != 0 or self.indptr[-1] != self.nnz:
+            raise ValueError("indptr must run from 0 to nnz")
+        if np.any(np.diff(self.indptr) < 0):
+            raise ValueError("indptr must be non-decreasing")
+        if self.nnz and (
+            self.indices.min() < 0 or self.indices.max() >= self.ncols
+        ):
+            raise ValueError("column index out of range")
+        row = np.repeat(
+            np.arange(self.nrows, dtype=np.int64), np.diff(self.indptr)
+        )
+        if self.nnz > 1:
+            same_row = row[1:] == row[:-1]
+            if np.any(same_row & (self.indices[1:] <= self.indices[:-1])):
+                raise ValueError(
+                    "column indices must be strictly increasing per row"
+                )
+        if self.symmetric and self.nnz and np.any(
+            self.indices.astype(np.int64) > row
+        ):
+            raise ValueError(
+                "symmetric storage must hold only the lower triangle"
+            )
+        return self
+
     def size_bytes(self) -> int:
         """Memory footprint (analog of ``CSRMatrix::size()``,
         ``csr_matrix.tpp:190-228``)."""

@@ -65,3 +65,34 @@ def test_spmv_host_oracle_symmetric():
     y = csr_sym.spmv_host(x)
     y_dense = coo.to_dense() @ x
     assert np.allclose(y, y_dense, rtol=1e-12)
+
+
+def test_csr_validate():
+    import pytest
+
+    from cfs_spmv_tpu.formats.coo import COO
+    from cfs_spmv_tpu.formats.csr import CSR
+
+    good = CSR.from_coo(COO.random(100, 100, 3.0, seed=0))
+    assert good.validate() is good
+
+    bad = CSR(100, 100, good.indptr, good.indices.copy(), good.data)
+    bad.indices[0] = 105  # out of range
+    with pytest.raises(ValueError):
+        bad.validate()
+
+    bad2 = CSR(100, 100, good.indptr[:-2], good.indices, good.data)
+    with pytest.raises(ValueError):
+        bad2.validate()
+
+    sym = CSR.from_coo(
+        COO.random(100, 100, 3.0, seed=1, symmetric=True)
+    )
+    assert sym.validate() is sym
+    notlower = CSR(sym.nrows, sym.ncols, sym.indptr, sym.indices,
+                   sym.data, symmetric=True)
+    notlower.indices = notlower.indices.copy()
+    if notlower.nnz:
+        notlower.indices[0] = 99  # above the diagonal for row 0
+        with pytest.raises(ValueError):
+            notlower.validate()
