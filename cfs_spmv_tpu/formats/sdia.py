@@ -91,7 +91,7 @@ def extract_sdia(
     R = -(-n // BLOCK_ROWS)
     D = len(offsets)
     # pad R so the kernel can process RB blocks per grid step
-    RB = _blocks_per_step(R, D, np.dtype(dtype).itemsize)
+    RB = _blocks_per_step(R, D)
     R = -(-R // RB) * RB
     vals = np.zeros((R, D, SUBLANES, LANES), dtype)
     g = row[sel]

@@ -44,8 +44,12 @@ def _flatten(plan, prefix, arrays, manifest):
         v = getattr(plan, f.name)
         key = f"{prefix}{f.name}"
         if isinstance(v, np.ndarray):
-            arrays[key] = v
-            fields[f.name] = {"kind": "array"}
+            if str(v.dtype) == "bfloat16":  # npz has no bf16; tag + view
+                arrays[key] = v.view(np.uint16)
+                fields[f.name] = {"kind": "array", "dtype": "bfloat16"}
+            else:
+                arrays[key] = v
+                fields[f.name] = {"kind": "array"}
         elif isinstance(v, (Bell2Plan, SBellPlan, SDiaPlan)):
             fields[f.name] = {"kind": "plan"}
             _flatten(v, key + ".", arrays, manifest)
@@ -80,7 +84,12 @@ def _rebuild(prefix, nodes, data):
     for name, spec in node["fields"].items():
         key = f"{prefix}{name}"
         if spec["kind"] == "array":
-            kwargs[name] = data[key]
+            arr = data[key]
+            if spec.get("dtype") == "bfloat16":
+                import ml_dtypes
+
+                arr = arr.view(ml_dtypes.bfloat16)
+            kwargs[name] = arr
         elif spec["kind"] == "plan":
             kwargs[name] = _rebuild(key + ".", nodes, data)
         elif spec["kind"] == "none":

@@ -119,12 +119,15 @@ class SparseMatrix:
         tuning: Tuning = Tuning.AGGRESSIVE,
         *,
         dtype=np.float32,
+        **kwargs,
     ) -> "SparseMatrix":
         """Preprocess into the tuned device layout
-        (ref ``CSRMatrix::tune``, ``csr_matrix.tpp:230-310``)."""
+        (ref ``CSRMatrix::tune``, ``csr_matrix.tpp:230-310``).
+        Extra kwargs (``reorder``, ``values``, ``cache_dir``) pass
+        through to :func:`cfs_spmv_tpu.tuning.tune.tune`."""
         self._tuned = tune(
             self._csr, fmt=self._fmt, kernel=kernel, tuning=tuning,
-            dtype=dtype,
+            dtype=dtype, **kwargs,
         )
         return self
 

@@ -29,10 +29,11 @@ class SpDMV:
         tuning: Tuning = Tuning.AGGRESSIVE,
         *,
         dtype=np.float32,
+        **kwargs,
     ):
         self.A = A
         if A.tuned is None:
-            A.tune(self.kernel, tuning, dtype=dtype)
+            A.tune(self.kernel, tuning, dtype=dtype, **kwargs)
 
     def __call__(self, x):
         """Dimension-checked apply (ref ``sparse_kernel.tpp:20-27``)."""

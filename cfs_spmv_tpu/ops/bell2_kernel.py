@@ -176,7 +176,7 @@ def bell2_spmv_tiles(
     out = pl.pallas_call(
         functools.partial(_bell2_kernel, K=K),
         grid_spec=_grid_spec(G, K, BT),
-        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * C * SUBLANES * LANES,
             bytes_accessed=vals.size * vals.dtype.itemsize
@@ -259,7 +259,7 @@ def bell2_spmv_tiles_accum(
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
         interpret=interpret,
     )(
@@ -311,7 +311,7 @@ def bell2_spmm_tiles(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
-            (B, tiles_padded, LANES), vals.dtype
+            (B, tiles_padded, LANES), x3d.dtype
         ),
         interpret=interpret,
     )(
@@ -389,7 +389,7 @@ def sbell_spmv_tiles(
     out = pl.pallas_call(
         functools.partial(_sbell_kernel, K=K, BT=BT, TW=transpose_windows),
         grid_spec=_grid_spec(G, K, BT),
-        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * C * SUBLANES * LANES,
             bytes_accessed=vals.size * vals.dtype.itemsize
@@ -458,7 +458,7 @@ def sbell_spmm_tiles(
         functools.partial(_sbell_mm_kernel, K=K, BT=BT, TW=transpose_windows, n_rhs=B),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
-            (B, tiles_padded, LANES), vals.dtype
+            (B, tiles_padded, LANES), x3d.dtype
         ),
         interpret=interpret,
     )(
@@ -539,7 +539,7 @@ def bell2_spmm_tiles_accum(
         functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (B, tiles_padded, LANES), vals.dtype
+            (B, tiles_padded, LANES), x3d.dtype
         ),
         input_output_aliases={5: 0},
         interpret=interpret,

@@ -117,11 +117,13 @@ def _sdia_kernel(vals_ref, x_ref, yin_ref, y_ref, *, offsets, SP, dtype,
                            offsets=offsets, SP=SP, dtype=dtype)
 
 
-def _blocks_per_step(R: int, D: int, itemsize: int) -> int:
+def _blocks_per_step(R: int, D: int, itemsize: int = 4) -> int:
     """Row blocks per grid step: target ~0.5 MB of vals per DMA, cap 8.
 
     Must give the same answer for the plan's original R and the padded
-    R (= next multiple): it is min(cap, R) with cap independent of R.
+    R (= next multiple): min(cap, R) with cap independent of R — and
+    independent of the storage dtype (itemsize is pinned to 4 by the
+    callers so bf16-cast plans keep their geometry).
     """
     per_block = D * SUBLANES * LANES * itemsize
     cap = max(1, min(SUBLANES, (512 * 1024) // max(per_block, 1)))
@@ -141,7 +143,7 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
     assert D == len(offsets)
     T = y_tiles.shape[0]
     SP = max(d // LANES for d in offsets) + 1
-    RB = _blocks_per_step(R, D, vals.dtype.itemsize)
+    RB = _blocks_per_step(R, D)
     assert R % RB == 0, "plan must pad R to the RB multiple"
     rows = SP + R * SUBLANES
     xp = jnp.pad(
@@ -150,7 +152,7 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
     yp = jnp.pad(y_tiles, ((SP, max(0, rows - SP - T)), (0, 0)))[:rows]
     out = pl.pallas_call(
         functools.partial(
-            _sdia_kernel, offsets=offsets, SP=SP, dtype=vals.dtype,
+            _sdia_kernel, offsets=offsets, SP=SP, dtype=x2d.dtype,
             n_rhs=None, RB=RB,
         ),
         grid=(R // RB,),
@@ -162,7 +164,7 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), x2d.dtype),
         input_output_aliases={2: 0},
         cost_estimate=pl.CostEstimate(
             flops=4 * vals.size,
@@ -182,7 +184,7 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     R, D = vals.shape[0], vals.shape[1]
     B, T = y_tiles.shape[0], y_tiles.shape[1]
     SP = max(d // LANES for d in offsets) + 1
-    RB = _blocks_per_step(R, D, vals.dtype.itemsize)
+    RB = _blocks_per_step(R, D)
     assert R % RB == 0, "plan must pad R to the RB multiple"
     rows = SP + R * SUBLANES
     xp = jnp.pad(
@@ -193,7 +195,7 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     )[:, :rows]
     out = pl.pallas_call(
         functools.partial(
-            _sdia_kernel, offsets=offsets, SP=SP, dtype=vals.dtype,
+            _sdia_kernel, offsets=offsets, SP=SP, dtype=x3d.dtype,
             n_rhs=B, RB=RB,
         ),
         grid=(R // RB,),
@@ -205,7 +207,7 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), x3d.dtype),
         input_output_aliases={2: 0},
         interpret=interpret,
     )(vals, xp, yp)

@@ -292,9 +292,7 @@ class DistSpDMV:
         Du = len(self.dia_offsets)
         R_loc = -(-self.shard_rows // BLOCK_ROWS)
         if Du:
-            RB = _blocks_per_step(
-                R_loc, Du, np.dtype(self.dtype).itemsize
-            )
+            RB = _blocks_per_step(R_loc, Du)
             R_loc = -(-R_loc // RB) * RB
         dmap = {o: j for j, o in enumerate(self.dia_offsets)}
 

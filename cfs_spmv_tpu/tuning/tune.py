@@ -104,6 +104,7 @@ def tune(
     dtype=np.float32,
     cache_dir: str | None = None,
     reorder: bool | str = "auto",
+    values: str = "same",
 ) -> TunedMatrix:
     """Select a layout and build the tuned matrix.
 
@@ -119,6 +120,11 @@ def tune(
     of the reference's METIS placement, ``csr_matrix.tpp:543-639``).
     ``"auto"`` applies it only when it shrinks the mean bandwidth 2x on a
     scattered square matrix; ``True`` forces, ``False`` disables.
+
+    ``values="bfloat16"`` stores stream values in bfloat16 (halving HBM
+    traffic) while x/y and accumulation stay float32 — a TPU-native
+    extra beyond the reference's float/double pair; results carry
+    bfloat16 tolerances (~4e-3 relative per value).
     """
     del kernel  # SpDMV/SpDMM share plans; both appliers are bound below
     from ..io.plancache import cached_build
@@ -177,8 +183,8 @@ def tune(
 
     if fmt in (Format.SSS, Format.HYB) and tuning == Tuning.AGGRESSIVE:
         plan = cached_build(
-            lambda: build_sbell_plan(csr, dtype=dtype),
-            csr, dtype, cache_dir, fmt="sbell",
+            lambda: _cast_values(build_sbell_plan(csr, dtype=dtype), values),
+            csr, dtype, cache_dir, fmt="sbell", values=values,
         )
         dev = spmv_ops.sym_to_device(plan)
         tuned = TunedMatrix(
@@ -190,8 +196,8 @@ def tune(
         src = csr.to_coo().expand_symmetric() if csr.symmetric else None
         gen_csr = CSR.from_coo(src) if src is not None else csr
         plan = cached_build(
-            lambda: build_bell2_plan(gen_csr, dtype=dtype),
-            gen_csr, dtype, cache_dir, fmt="bell2",
+            lambda: _cast_values(build_bell2_plan(gen_csr, dtype=dtype), values),
+            gen_csr, dtype, cache_dir, fmt="bell2", values=values,
         )
         dev = spmv_ops.to_device(plan)
         tuned = TunedMatrix(
@@ -213,6 +219,24 @@ def tune(
         tuned.spill_fraction, perm is not None,
     )
     return tuned
+
+
+def _cast_values(plan, values: str):
+    """Cast stream value arrays to the storage dtype (bf16 halves HBM
+    traffic; indices/metadata/x/y/diag are untouched)."""
+    if values == "same":
+        return plan
+    if values != "bfloat16":
+        raise ValueError(f"values must be 'same' or 'bfloat16', got {values}")
+    import jax.numpy as jnp
+
+    vdt = jnp.bfloat16
+    plan.vals = plan.vals.astype(vdt)
+    if getattr(plan, "far", None) is not None:
+        plan.far.vals = plan.far.vals.astype(vdt)
+    if getattr(plan, "dia", None) is not None:
+        plan.dia.vals = plan.dia.vals.astype(vdt)
+    return plan
 
 
 def _permuted(tuned: TunedMatrix, perm: np.ndarray) -> TunedMatrix:

@@ -132,3 +132,53 @@ def test_property_random_matrices():
         A = SparseMatrix.create(coo, Format.CSR)
         x = random_x(m, np.float64, seed=trial)
         _check(A, x, np.float64)
+
+
+def test_bfloat16_value_storage(small_sym_coo=None):
+    """values='bfloat16' halves stream bytes; f32 accumulate, bf16
+    tolerances."""
+    import jax.numpy as jnp
+
+    from cfs_spmv_tpu.formats.coo import COO
+    from cfs_spmv_tpu.formats.csr import CSR
+    from cfs_spmv_tpu.tuning.tune import tune
+    from cfs_spmv_tpu.utils.platform import Format, allclose_spmv
+    from conftest import random_x
+
+    coo = COO.random(2000, 2000, 6.0, symmetric=True, bandwidth=50,
+                     seed=21, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    t32 = tune(csr, fmt=Format.SSS)
+    tbf = tune(csr, fmt=Format.SSS, values="bfloat16")
+    assert tbf.plan.vals.dtype == jnp.bfloat16
+    assert tbf.stream_bytes() < t32.stream_bytes()
+    x = random_x(csr.nrows, np.float32)
+    y = np.asarray(tbf.matvec(x))
+    assert y.dtype == np.float32
+    xd = x.astype(np.float64)
+    assert allclose_spmv(
+        y, csr.spmv_host(xd), jnp.bfloat16,
+        nnz_per_row=tbf.nnz_full / csr.nrows,
+        scale=csr.spmv_host(xd, absolute=True),
+    )
+
+
+def test_bfloat16_plan_cache(tmp_path):
+    import jax.numpy as jnp
+
+    from cfs_spmv_tpu.formats.coo import COO
+    from cfs_spmv_tpu.formats.csr import CSR
+    from cfs_spmv_tpu.tuning.tune import tune
+    from cfs_spmv_tpu.utils.platform import Format
+
+    coo = COO.random(800, 800, 4.0, symmetric=True, bandwidth=40,
+                     seed=22, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    d = str(tmp_path)
+    t1 = tune(csr, fmt=Format.SSS, values="bfloat16", cache_dir=d)
+    t2 = tune(csr, fmt=Format.SSS, values="bfloat16", cache_dir=d)
+    assert t2.plan.vals.dtype == jnp.bfloat16
+    x = np.random.default_rng(0).uniform(1, 2, csr.nrows).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(t1.matvec(x)), np.asarray(t2.matvec(x))
+    )
