@@ -290,6 +290,47 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
+def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True):
+    """Entry-level conflict-aware packing (native cfs_pack_slots with a
+    Python mirror): subrows mix segments as long as row lanes and gather
+    lanes stay conflict-free. Returns pack_chunks-shaped outputs in
+    ORIGINAL entry order."""
+    order = np.lexsort((q, seg, tile))
+    ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
+    packed = _native.pack_slots(ts, lrs, sgs, qs, SUBLANES)
+    if packed is None:
+        packed = _native.pack_slots_py(ts, lrs, sgs, qs, SUBLANES)
+    e_chunk_s, e_sub_s, e_r2_s, chunk_tiles, windows, nwin = packed
+    e_chunk = np.empty(len(order), np.int64)
+    e_sub = np.empty(len(order), np.int64)
+    e_r2 = np.empty(len(order), np.int64)
+    e_chunk[order] = e_chunk_s
+    e_sub[order] = e_sub_s
+    e_r2[order] = e_r2_s
+
+    # cover empty tiles (same contract as pack_chunks)
+    present = np.zeros(T, bool)
+    if len(chunk_tiles):
+        present[chunk_tiles] = True
+    missing = (
+        np.flatnonzero(~present) if ensure_tiles else np.zeros(0, np.int64)
+    )
+    if len(missing):
+        chunk_tiles = np.concatenate([chunk_tiles, missing])
+        windows = np.concatenate(
+            [windows, np.zeros((len(missing), SUBLANES), np.int32)]
+        )
+        nwin = np.concatenate([nwin, np.zeros(len(missing), np.int32)])
+        corder = np.argsort(chunk_tiles, kind="stable")
+        cremap = np.empty(len(chunk_tiles), np.int64)
+        cremap[corder] = np.arange(len(chunk_tiles))
+        e_chunk = cremap[e_chunk]
+        chunk_tiles = chunk_tiles[corder]
+        windows = windows[corder]
+        nwin = nwin[corder]
+    return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
+
+
 def group_pad(chunk_tiles, K, BT, *, min_one_step=True):
     """Pad the chunk stream so each K-chunk grid step stays inside one
     BT-tile output block. Returns (remap, C, blocks_per_chunk_padded).
@@ -348,6 +389,20 @@ def build_bell2_plan(
     e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
         unit_key, tile, seg, T, ensure_tiles=cover_all_tiles
     )
+    pad0 = len(chunk_tiles) * SUBLANES * LANES / max(nnz, 1)
+    if pad0 > 1.7 and (_native.available() or nnz <= 2_000_000):
+        # scattered/block structure leaves unit-based subrows mostly
+        # empty; retry with the conflict-aware entry-level packer and
+        # keep whichever needs fewer chunks
+        alt = _pack_slots_entries(
+            tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
+        )
+        if alt is not None and len(alt[3]) < len(chunk_tiles):
+            info(
+                "bell2: slot packing %d -> %d chunks",
+                len(chunk_tiles), len(alt[3]),
+            )
+            e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles

@@ -107,6 +107,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i32p, i32p,
         ]
+        lib.cfs_pack_slots.restype = ctypes.c_int64
+        lib.cfs_pack_slots.argtypes = [
+            i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i32p, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -169,4 +175,102 @@ def pack_units(uw_start, uw_end, uw_seg, unit_tile, sublanes, max_windows):
     return (
         chunk_of_unit, subrow_of_unit, uw_slot[:n_uw],
         chunk_tile[:C0], windows[:C0], nwin[:C0],
+    )
+
+
+def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32):
+    """Conflict-aware entry-level packing (csrc cfs_pack_slots).
+
+    Entries must be sorted by (tile, seg, lane_c). Returns per-entry
+    (chunk, subrow, r2) and per-chunk (tile, windows, nwin) arrays, or
+    None when native is unavailable (caller uses the Python fallback).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(tile)
+    e_chunk = np.zeros(max(n, 1), np.int64)
+    e_sub = np.zeros(max(n, 1), np.int64)
+    e_r2 = np.zeros(max(n, 1), np.int64)
+    cap = max(n, 1)
+    chunk_tile = np.zeros(cap, np.int64)
+    windows = np.zeros((cap, 8), np.int32)
+    nwin = np.zeros(cap, np.int32)
+    C0 = lib.cfs_pack_slots(
+        np.ascontiguousarray(tile, np.int64),
+        np.ascontiguousarray(lane_r, np.int64),
+        np.ascontiguousarray(seg, np.int64),
+        np.ascontiguousarray(lane_c, np.int64),
+        n, max_windows, ring,
+        e_chunk, e_sub, e_r2, chunk_tile, windows, nwin,
+    )
+    if C0 < 0:
+        return None
+    return (
+        e_chunk[:n], e_sub[:n], e_r2[:n],
+        chunk_tile[:C0], windows[:C0], nwin[:C0],
+    )
+
+
+def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32):
+    """Pure-Python mirror of cfs_pack_slots (CI fallback; slow)."""
+    n = len(tile)
+    e_chunk = np.zeros(n, np.int64)
+    e_sub = np.zeros(n, np.int64)
+    e_r2 = np.zeros(n, np.int64)
+    chunk_tile: list[int] = []
+    wl_by_id: dict[int, list[int]] = {}
+    open_ids: list[int] = []  # oldest first
+    state: dict[int, tuple] = {}  # id -> (used_r sets, cseg dicts)
+    cur_tile = None
+    for i in range(n):
+        t, lr, sg, lc = int(tile[i]), int(lane_r[i]), int(seg[i]), int(lane_c[i])
+        if t != cur_tile:
+            cur_tile = t
+            open_ids = []
+        placed = False
+        for cid in open_ids:
+            used_r, cseg, wl = state[cid]
+            w = wl.index(sg) if sg in wl else -1
+            if w < 0 and len(wl) >= max_windows:
+                continue
+            for s in range(8):
+                if lr in used_r[s]:
+                    continue
+                have = cseg[s].get(lc)
+                if have is not None and have != sg:
+                    continue
+                used_r[s].add(lr)
+                cseg[s][lc] = sg
+                if w < 0:
+                    wl.append(sg)
+                    w = len(wl) - 1
+                e_chunk[i], e_sub[i], e_r2[i] = cid, s, w
+                placed = True
+                break
+            if placed:
+                break
+        if not placed:
+            cid = len(chunk_tile)
+            chunk_tile.append(t)
+            wl = [sg]
+            used_r = [set() for _ in range(8)]
+            cseg = [dict() for _ in range(8)]
+            used_r[0].add(lr)
+            cseg[0][lc] = sg
+            state[cid] = (used_r, cseg, wl)
+            wl_by_id[cid] = wl
+            open_ids.append(cid)
+            if len(open_ids) > ring:
+                state.pop(open_ids.pop(0))
+            e_chunk[i], e_sub[i], e_r2[i] = cid, 0, 0
+    C0 = len(chunk_tile)
+    windows = np.zeros((max(C0, 1), 8), np.int32)
+    nwin = np.zeros(max(C0, 1), np.int32)
+    for cid, wl in wl_by_id.items():
+        windows[cid, : len(wl)] = wl
+        nwin[cid] = len(wl)
+    return (
+        e_chunk, e_sub, e_r2,
+        np.asarray(chunk_tile, np.int64), windows[:C0], nwin[:C0],
     )

@@ -145,4 +145,102 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
   return n_chunks;
 }
 
+// ---------------------------------------------------------------------------
+// Conflict-aware slot packing for one-sided BELL2 streams.
+//
+// Unit-based packing (cfs_pack_units) keeps one (row-tile, column-segment)
+// unit per subrow, which leaves subrows mostly empty on scattered/block
+// structure (2-4x padding). This packer places ENTRIES directly: a subrow
+// may mix segments as long as (a) each row lane holds at most one value,
+// (b) each gather lane (lane_c) position carries one window id — entries
+// sharing a gather lane must share the segment (then the r2 overwrite is
+// idempotent), and (c) the chunk's distinct segments fit max_windows.
+// First-fit over a ring of the most recent `ring` open chunks per tile.
+//
+// Entries must arrive sorted by (tile, seg, lane_c). Outputs as in
+// cfs_pack_units. Returns the chunk count.
+int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
+                       const int64_t *seg, const int64_t *lane_c,
+                       int64_t n, int64_t max_windows, int64_t ring,
+                       int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
+                       int64_t *chunk_tile, int32_t *windows,
+                       int32_t *nwin) {
+  if (max_windows > 8 || ring < 1 || ring > 256) return -1;
+  struct Chunk {
+    int64_t id;
+    int64_t t;
+    int64_t nw;
+    int64_t wseg[8];
+    uint64_t used_r[8][2];   // per-subrow row-lane occupancy
+    int32_t cseg[8][128];    // per-subrow gather-lane -> seg (-1 free)
+  };
+  Chunk *open = new Chunk[ring];
+  int64_t n_open = 0, head = 0;  // ring of open chunks, oldest first
+  int64_t n_chunks = 0;
+  int64_t cur_tile = -1;
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (tile[i] != cur_tile) {
+      cur_tile = tile[i];
+      n_open = 0;
+      head = 0;
+    }
+    const int64_t lr = lane_r[i], sg = seg[i], lc = lane_c[i];
+    bool placed = false;
+    for (int64_t o = 0; o < n_open && !placed; ++o) {
+      Chunk &ch = open[(head + o) % ring];
+      // window for sg: existing slot or a free one
+      int64_t w = -1;
+      for (int64_t j = 0; j < ch.nw; ++j)
+        if (ch.wseg[j] == sg) { w = j; break; }
+      const bool new_w = (w < 0);
+      if (new_w) {
+        if (ch.nw >= max_windows) continue;
+        w = ch.nw;
+      }
+      for (int64_t s = 0; s < 8; ++s) {
+        if (ch.used_r[s][lr >> 6] & (1ull << (lr & 63))) continue;
+        const int32_t have = ch.cseg[s][lc];
+        if (have >= 0 && have != (int32_t)sg) continue;
+        // place
+        ch.used_r[s][lr >> 6] |= 1ull << (lr & 63);
+        ch.cseg[s][lc] = (int32_t)sg;
+        if (new_w) {
+          ch.wseg[ch.nw] = sg;
+          windows[ch.id * 8 + ch.nw] = (int32_t)sg;
+          ch.nw++;
+          nwin[ch.id] = (int32_t)ch.nw;
+        }
+        e_chunk[i] = ch.id;
+        e_sub[i] = s;
+        e_r2[i] = w;
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) {
+      // open a new chunk (evict oldest if the ring is full)
+      Chunk &ch = (n_open < ring) ? open[(head + n_open++) % ring]
+                                  : open[head];
+      if (n_open == ring && &ch == &open[head]) head = (head + 1) % ring;
+      ch.id = n_chunks++;
+      ch.t = cur_tile;
+      ch.nw = 1;
+      ch.wseg[0] = sg;
+      memset(ch.used_r, 0, sizeof(ch.used_r));
+      memset(ch.cseg, -1, sizeof(ch.cseg));
+      ch.used_r[0][lr >> 6] |= 1ull << (lr & 63);
+      ch.cseg[0][lc] = (int32_t)sg;
+      chunk_tile[ch.id] = cur_tile;
+      windows[ch.id * 8] = (int32_t)sg;
+      nwin[ch.id] = 1;
+      e_chunk[i] = ch.id;
+      e_sub[i] = 0;
+      e_r2[i] = 0;
+    }
+  }
+  delete[] open;
+  return n_chunks;
+}
+
 }  // extern "C"

@@ -111,3 +111,55 @@ def test_native_disabled_env(monkeypatch):
     assert not nat.available()
     # restore for other tests
     monkeypatch.setattr(nat, "_tried", False)
+
+
+def _block_coo(n_blocks=500, b=3, nbr=6, seed=5):
+    rng = np.random.default_rng(seed)
+    br = np.repeat(np.arange(n_blocks), nbr)
+    bc = rng.integers(0, n_blocks, n_blocks * nbr)
+    ri, ci = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    row = (br[:, None] * b + ri.ravel()[None, :]).ravel()
+    col = (bc[:, None] * b + ci.ravel()[None, :]).ravel()
+    val = rng.uniform(0.5, 1.5, len(row))
+    n = n_blocks * b
+    return COO(n, n, row.astype(np.int64), col.astype(np.int64),
+               val.astype(np.float32)).canonicalize()
+
+
+@requires_native
+def test_pack_slots_native_matches_python():
+    from cfs_spmv_tpu.native import pack_slots, pack_slots_py
+
+    coo = _block_coo()
+    csr = CSR.from_coo(coo)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64),
+                    np.diff(csr.indptr))
+    col = csr.indices.astype(np.int64)
+    tile, lane, seg, q = row >> 7, row & 127, col >> 7, col & 127
+    order = np.lexsort((q, seg, tile))
+    args = (tile[order], lane[order], seg[order], q[order], 8)
+    a = pack_slots(*args)
+    b = pack_slots_py(*args)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_slot_packed_spmv_correct():
+    """Block-structured matrix routes through the slot packer and still
+    matches the host oracle."""
+    from cfs_spmv_tpu.formats.bell2 import build_bell2_plan
+    from cfs_spmv_tpu.ops import spmv as ops
+    from cfs_spmv_tpu.utils.platform import allclose_spmv
+
+    coo = _block_coo(n_blocks=800, nbr=8, seed=6)
+    csr = CSR.from_coo(coo)
+    plan = build_bell2_plan(csr, dtype=np.float32)
+    dev = ops.to_device(plan)
+    x = np.random.default_rng(0).uniform(1, 2, csr.ncols).astype(np.float32)
+    y = np.asarray(ops.bell2_apply(dev, x))
+    xd = x.astype(np.float64)
+    assert allclose_spmv(
+        y, csr.spmv_host(xd), np.float32,
+        nnz_per_row=csr.nnz / csr.nrows,
+        scale=csr.spmv_host(xd, absolute=True),
+    )
