@@ -414,14 +414,16 @@ def build_bell2_plan(
     step_block = blk_full[::K].copy()
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
-    packed = np.zeros((C, SUBLANES, LANES), np.int32)
     ec = remap[e_chunk]
     vals_arr[ec, e_sub, lane] = val.astype(dtype)
     q_field = np.zeros((C, SUBLANES, LANES), np.int32)
     q_field[ec, e_sub, lane] = q
     r2_field = np.zeros((C, SUBLANES, LANES), np.int32)
     r2_field[ec, e_sub, q] = e_r2
-    packed = q_field | (r2_field << 7)
+    # one-sided streams need only q (7 bits) + r2 (3 bits): int16 halves
+    # the index traffic (the paired symmetric layout needs 18 bits and
+    # stays int32)
+    packed = (q_field | (r2_field << 7)).astype(np.int16)
 
     plan = Bell2Plan(
         n, m, nnz, vals_arr, packed, meta, step_block,
@@ -443,6 +445,6 @@ def _empty_plan(n, m, T, x_rows, dtype, K, BT):
     return Bell2Plan(
         n, m, 0,
         np.zeros((C, SUBLANES, LANES), dtype),
-        np.zeros((C, SUBLANES, LANES), np.int32),
+        np.zeros((C, SUBLANES, LANES), np.int16),
         meta, step_block, T, x_rows, K, BT,
     )

@@ -85,6 +85,8 @@ def _stack_windows_slim_b(x_ref, meta_ref, k, b, nwin):
 
 def _gather_x(W, pk):
     """Two-step gather: x value for every slot of the chunk."""
+    if pk.dtype != jnp.int32:  # one-sided streams store int16
+        pk = pk.astype(jnp.int32)
     q = pk & 0x7F
     r2 = (pk >> 7) & 0x7
     G = jnp.take_along_axis(W, r2, axis=0)
@@ -180,7 +182,7 @@ def bell2_spmv_tiles(
         cost_estimate=pl.CostEstimate(
             flops=2 * C * SUBLANES * LANES,
             bytes_accessed=vals.size * vals.dtype.itemsize
-            + packed.size * 4,
+            + packed.size * packed.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -393,7 +395,7 @@ def sbell_spmv_tiles(
         cost_estimate=pl.CostEstimate(
             flops=4 * C * SUBLANES * LANES,
             bytes_accessed=vals.size * vals.dtype.itemsize
-            + packed.size * 4,
+            + packed.size * packed.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -83,6 +83,12 @@ def time_matvec(matvec, x, iters: int = 500, repeats: int = 5) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = timed(iters)
-    t2 = timed(2 * iters)
-    return max(t2 - t1, 1e-12) / iters
+    # host-load spikes can make T(k) exceed T(2k); retry until the pair
+    # is sane, then fall back to the amortized upper bound rather than
+    # reporting a nonsense (even infinite) rate
+    for _ in range(4):
+        t1 = timed(iters)
+        t2 = timed(2 * iters)
+        if t2 > 1.2 * t1:
+            return (t2 - t1) / iters
+    return t2 / (2 * iters)
