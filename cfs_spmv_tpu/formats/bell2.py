@@ -383,26 +383,46 @@ def build_bell2_plan(
     col = csr.indices.astype(np.int64)
     val = np.asarray(csr.data)
 
-    unit_key, tile, lane, q, seg = plan_units(
-        row, col, nnz, diag_threshold
+    tile = row >> 7
+    lane = row & 127
+    seg = col >> 7
+    q = col & 127
+
+    # cheap scatter predictor: few entries per (tile, segment) means
+    # unit-based subrows would sit mostly empty — go straight to the
+    # conflict-aware slot packer and skip two full sort pipelines
+    slot_ok = _native.available() or nnz <= 2_000_000
+    avg_per_ts = nnz / max(
+        len(np.unique(tile * (x_rows + 1) + seg)), 1
     )
-    e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
-        unit_key, tile, seg, T, ensure_tiles=cover_all_tiles
-    )
-    pad0 = len(chunk_tiles) * SUBLANES * LANES / max(nnz, 1)
-    if pad0 > 1.7 and (_native.available() or nnz <= 2_000_000):
-        # scattered/block structure leaves unit-based subrows mostly
-        # empty; retry with the conflict-aware entry-level packer and
-        # keep whichever needs fewer chunks
-        alt = _pack_slots_entries(
+    packed_alt = None
+    if slot_ok and avg_per_ts < 24:
+        packed_alt = _pack_slots_entries(
             tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
         )
-        if alt is not None and len(alt[3]) < len(chunk_tiles):
-            info(
-                "bell2: slot packing %d -> %d chunks",
-                len(chunk_tiles), len(alt[3]),
+    if packed_alt is not None:
+        info("bell2: slot packing (%.1f nnz per tile-seg)", avg_per_ts)
+        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
+    else:
+        unit_key, tile, lane, q, seg = plan_units(
+            row, col, nnz, diag_threshold
+        )
+        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
+            unit_key, tile, seg, T, ensure_tiles=cover_all_tiles
+        )
+        pad0 = len(chunk_tiles) * SUBLANES * LANES / max(nnz, 1)
+        if pad0 > 1.7 and slot_ok:
+            # mispredicted: retry with the slot packer and keep the
+            # smaller plan
+            alt = _pack_slots_entries(
+                tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
             )
-            e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
+            if alt is not None and len(alt[3]) < len(chunk_tiles):
+                info(
+                    "bell2: slot packing %d -> %d chunks",
+                    len(chunk_tiles), len(alt[3]),
+                )
+                e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles
