@@ -553,8 +553,160 @@ class DistSpDMV:
 
         return run
 
+    # ------------------------------------------------------------------
+    def _build_mm(self, B: int):
+        """Multi-RHS variant of the distributed program (SpDMM at mesh
+        scale — a capability the reference lacks). One compiled program
+        per RHS count, cached."""
+        from ..ops.bell2_kernel import (
+            bell2_spmm_tiles,
+            bell2_spmm_tiles_accum,
+            sbell_spmm_tiles,
+        )
+        from ..ops.sdia_kernel import sdia_sym_tiles_mm
+        from ..ops.spmv import use_interpret
+
+        ndev = self.ndev
+        S = self.shard_rows
+        n = self.nrows
+        interpret = use_interpret()
+        sym = self._paired is not None
+        real = self.real
+        K, BT = self.K, self.BT
+        K_ring = getattr(self, "K_ring", K)
+        ring = self.comm == "ring"
+        T_loc = self._far_tiles
+        x_rows_full = self._x_rows_full
+        x_rows_loc = S // LANES
+        dia_offsets = getattr(self, "dia_offsets", ())
+        dtype = self.dtype
+
+        def one_sided_mm(arrs, x3d, n_chunks_step):
+            vals, qidx, meta, steps = (a[0] for a in arrs)
+            out = bell2_spmm_tiles(
+                vals, qidx, meta, steps, x3d,
+                num_row_tiles=T_loc, chunks_per_step=n_chunks_step,
+                tiles_per_block=BT, interpret=interpret,
+            )
+            return out.reshape(B, -1)[:, :S]
+
+        def to3d(x_bs):  # (S, B) local segment -> (B, x_rows_loc, 128)
+            return x_bs.T.reshape(B, x_rows_loc, LANES)
+
+        def shard_fn(far, paired, pfar_arrs, dia_v, diag, x_sh):
+            x_loc = x_sh[0]  # (S, B)
+            x3d_loc = to3d(x_loc)
+            y = jnp.zeros((B, S), x_loc.dtype)
+            if sym:
+                pv, pp, pm, ps = (a[0] for a in paired)
+                tiles = sbell_spmm_tiles(
+                    pv, pp, pm, ps, x3d_loc,
+                    num_row_tiles=T_loc, chunks_per_step=K,
+                    tiles_per_block=BT, transpose_windows=2,
+                    interpret=interpret,
+                )
+                if dia_v is not None:
+                    tiles = sdia_sym_tiles_mm(
+                        dia_v[0], x3d_loc, tiles,
+                        offsets=dia_offsets, interpret=interpret,
+                    )
+                y = y + diag[0][None, :] * x_loc.T
+                if pfar_arrs is not None:
+                    y = y + one_sided_mm(pfar_arrs, x3d_loc, K)
+            else:
+                tiles = jnp.zeros((B, T_loc, LANES), dtype)
+
+            if ring:
+                TP = -(-T_loc // BT) * BT
+                tp = jnp.pad(
+                    tiles, ((0, 0), (0, TP - tiles.shape[1]), (0, 0))
+                )
+                xs = x_loc
+                for k in range(ndev):
+                    vals, qidx, meta, steps = (a[0] for a in far[k])
+                    tp = bell2_spmm_tiles_accum(
+                        vals, qidx, meta, steps, to3d(xs), tp,
+                        num_row_tiles=T_loc, chunks_per_step=K_ring,
+                        tiles_per_block=BT, interpret=interpret,
+                    )
+                    if k + 1 < ndev:
+                        xs = jax.lax.ppermute(
+                            xs, ROWS_AXIS,
+                            [(i, (i - 1) % ndev) for i in range(ndev)],
+                        )
+                y = y + tp[:, :T_loc].reshape(B, -1)[:, :S]
+            else:
+                y = y + tiles.reshape(B, -1)[:, :S]
+                xg = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=False)
+                parts = [xg[d, : real[d][1]] for d in range(ndev)]
+                x_full = (
+                    jnp.concatenate(parts)[:n] if ndev > 1 else parts[0]
+                )
+                pad_len = x_rows_full * LANES - x_full.shape[0]
+                x3d_full = jnp.pad(
+                    x_full, ((0, pad_len), (0, 0))
+                ).T.reshape(B, x_rows_full, LANES)
+                y = y + one_sided_mm(far, x3d_full, K)
+            return y[None]
+
+        sym_spec = P(ROWS_AXIS) if sym else None
+        in_specs = (
+            P(ROWS_AXIS),
+            sym_spec,
+            P(ROWS_AXIS)
+            if (sym and getattr(self, "_pfar", None) is not None)
+            else None,
+            P(ROWS_AXIS)
+            if (sym and getattr(self, "_dia", None) is not None)
+            else None,
+            sym_spec,
+            P(ROWS_AXIS),
+        )
+        smapped = shard_map(
+            shard_fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=P(ROWS_AXIS), check_vma=False,
+        )
+
+        @jax.jit
+        def run(far, paired, pfar_a, dia_a, diag, x):
+            segs = []
+            xp = jnp.pad(x, ((0, S), (0, 0)))
+            for d in range(ndev):
+                r0, nr = real[d]
+                seg = jax.lax.dynamic_slice_in_dim(xp, r0, S, axis=0)
+                segs.append(
+                    jnp.where(jnp.arange(S)[:, None] < nr, seg, 0)
+                )
+            x_sh = jnp.stack(segs)  # (ndev, S, B)
+            y_sh = smapped(far, paired, pfar_a, dia_a, diag, x_sh)
+            outs = [
+                y_sh[d, :, : real[d][1]] for d in range(ndev)
+            ]  # each (B, real rows)
+            return jnp.concatenate(outs, axis=1)[:, :n].T
+
+        return run
+
+    def matmat(self, X):
+        """Y = A @ X for X of shape (ncols, B)."""
+        X = jnp.asarray(X, self.dtype)
+        if X.ndim != 2 or X.shape[0] != self.ncols:
+            raise ValueError(
+                f"X must be ({self.ncols}, B), got {X.shape}"
+            )
+        B = int(X.shape[1])
+        if not hasattr(self, "_fn_mm"):
+            self._fn_mm = {}
+        if B not in self._fn_mm:
+            self._fn_mm[B] = self._build_mm(B)
+        return self._fn_mm[B](
+            self._far, self._paired, getattr(self, "_pfar", None),
+            getattr(self, "_dia", None), self._diag, X,
+        )
+
     def __call__(self, x):
         x = jnp.asarray(x, self.dtype)
+        if x.ndim == 2:
+            return self.matmat(x)
         if x.shape != (self.ncols,):
             raise ValueError(f"x must be ({self.ncols},), got {x.shape}")
         fn, ops = self.pure_apply()

@@ -212,3 +212,37 @@ def test_dist_comm_validation(mesh8):
     coo = COO.random(300, 300, 3.0, seed=5, dtype=np.float64)
     with pytest.raises(ValueError):
         DistSpDMV(CSR.from_coo(coo), mesh8, comm="nope")
+
+
+@pytest.mark.parametrize("comm", ["gather", "ring"])
+def test_dist_spmm(mesh8, comm):
+    """Distributed multi-RHS SpDMM (capability beyond the reference)."""
+    coo = COO.random(1300, 1300, 5.0, symmetric=True, bandwidth=150,
+                     seed=17, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64, comm=comm,
+                    dia_min_count=8)
+    B = 3
+    X = np.random.default_rng(18).uniform(1, 2, (1300, B))
+    Y = np.asarray(dsp(X))
+    assert Y.shape == (1300, B)
+    for b in range(B):
+        ref = csr.spmv_host(X[:, b])
+        assert allclose_spmv(
+            Y[:, b], ref, dtype=np.float64, nnz_per_row=10,
+            scale=csr.spmv_host(X[:, b], absolute=True),
+        )
+
+
+def test_dist_spmm_general(mesh8):
+    coo = COO.random(900, 900, 4.0, bandwidth=200, seed=19,
+                     dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    X = np.random.default_rng(20).uniform(1, 2, (900, 2))
+    Y = np.asarray(dsp.matmat(X))
+    for b in range(2):
+        assert allclose_spmv(
+            Y[:, b], csr.spmv_host(X[:, b]), dtype=np.float64,
+            nnz_per_row=4, scale=csr.spmv_host(X[:, b], absolute=True),
+        )
