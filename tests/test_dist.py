@@ -246,3 +246,10 @@ def test_dist_spmm_general(mesh8):
             Y[:, b], csr.spmv_host(X[:, b]), dtype=np.float64,
             nnz_per_row=4, scale=csr.spmv_host(X[:, b], absolute=True),
         )
+
+
+def test_multihost_noop_single_process():
+    from cfs_spmv_tpu.parallel import multihost
+
+    assert not multihost.is_multiprocess()
+    multihost.initialize()  # must be a harmless no-op here
