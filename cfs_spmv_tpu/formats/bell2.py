@@ -72,13 +72,17 @@ class Bell2Plan:
     ncols: int
     nnz: int
     vals: np.ndarray  # (C, 8, 128) dtype
-    packed: np.ndarray  # (C, 8, 128) int32 (q | r2<<7)
+    packed: np.ndarray  # (C, 8, 128) int16 (q | r2<<7)
     meta: np.ndarray  # (C, META_W) int32
     step_block: np.ndarray  # (G,) int32
     num_row_tiles: int
     x_rows: int  # rows of the (x_rows, 128) x operand
     chunks_per_step: int
     tiles_per_block: int
+    #: chunks per same-tile run: the kernel accumulates a run in
+    #: register and does one sum + read-modify-write per run (every
+    #: tile's chunk count is padded to a run multiple)
+    run_len: int = 1
 
     @property
     def num_chunks(self) -> int:
@@ -331,6 +335,29 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True):
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
+def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
+    """Pad every tile's chunk count to a ``run`` multiple (empty chunks
+    contribute zeros) so kernel runs never straddle tiles. Assumes
+    chunk_tiles is tile-sorted; preserves intra-tile order."""
+    C0 = len(chunk_tiles)
+    if C0 == 0 or run <= 1:
+        return e_chunk, chunk_tiles, windows, nwin
+    uniq, start = np.unique(chunk_tiles, return_index=True)
+    cnt = np.diff(np.append(start, C0))
+    padded = -(-cnt // run) * run
+    new_start = np.concatenate([[0], np.cumsum(padded)])
+    # remap original chunk ids into the padded layout
+    tile_rank = np.searchsorted(uniq, chunk_tiles)
+    remap = new_start[tile_rank] + (np.arange(C0) - start[tile_rank])
+    C = int(new_start[-1])
+    new_tiles = np.repeat(uniq, padded)
+    new_windows = np.zeros((C, SUBLANES), np.int32)
+    new_windows[remap] = windows
+    new_nwin = np.zeros(C, np.int32)
+    new_nwin[remap] = nwin
+    return remap[e_chunk], new_tiles, new_windows, new_nwin
+
+
 def group_pad(chunk_tiles, K, BT, *, min_one_step=True):
     """Pad the chunk stream so each K-chunk grid step stays inside one
     BT-tile output block. Returns (remap, C, blocks_per_chunk_padded).
@@ -361,6 +388,7 @@ def build_bell2_plan(
     tiles_per_block: int | None = None,
     diag_threshold: int = DIAG_THRESHOLD,
     cover_all_tiles: bool = True,
+    allow_runs: bool = True,
 ) -> Bell2Plan:
     """Vectorized plan construction (O(nnz log nnz) + O(#subrows)).
 
@@ -400,9 +428,17 @@ def build_bell2_plan(
         packed_alt = _pack_slots_entries(
             tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
         )
+    run_len = 1
     if packed_alt is not None:
         info("bell2: slot packing (%.1f nnz per tile-seg)", avg_per_ts)
         e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
+        if allow_runs and K % 4 == 0:
+            # slot-packed (scattered) plans carry many chunks per tile;
+            # batching 4 same-tile chunks per flush pays its padding
+            run_len = 4
+            (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
+                e_chunk, chunk_tiles, windows, nwin, run_len
+            )
     else:
         unit_key, tile, lane, q, seg = plan_units(
             row, col, nnz, diag_threshold
@@ -447,7 +483,7 @@ def build_bell2_plan(
 
     plan = Bell2Plan(
         n, m, nnz, vals_arr, packed, meta, step_block,
-        T, x_rows, K, BT,
+        T, x_rows, K, BT, run_len,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",

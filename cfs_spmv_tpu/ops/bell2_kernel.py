@@ -103,13 +103,20 @@ def _zero_on_new_block(sb_ref, y_ref):
         y_ref[...] = jnp.zeros_like(y_ref)
 
 
-def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K):
+def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
+                  run=1):
     _zero_on_new_block(sb_ref, y_ref)
-    for k in range(K):
-        W = _stack_windows(x_ref, meta_ref, k)
-        gathered = _gather_x(W, pk_ref[0, k])
-        contrib = jnp.sum(vals_ref[0, k] * gathered, axis=0, keepdims=True)
-        y_ref[pl.ds(meta_ref[0, k, 0], 1), :] += contrib
+    for k0 in range(0, K, run):
+        # a run's chunks share one row tile: accumulate in register and
+        # flush one sum + read-modify-write per run
+        acc = None
+        for k in range(k0, k0 + run):
+            W = _stack_windows(x_ref, meta_ref, k)
+            g = _gather_x(W, pk_ref[0, k])
+            vg = vals_ref[0, k] * g
+            acc = vg if acc is None else acc + vg
+        contrib = jnp.sum(acc, axis=0, keepdims=True)
+        y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
 
 
 def _grid_spec(G, K, BT):
@@ -159,7 +166,7 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret"),
+                     "interpret", "run"),
 )
 def bell2_spmv_tiles(
     vals, packed, meta, step_block, x2d,
@@ -168,6 +175,7 @@ def bell2_spmv_tiles(
     chunks_per_step: int,
     tiles_per_block: int,
     interpret: bool = False,
+    run: int = 1,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream."""
     C = vals.shape[0]
@@ -176,7 +184,7 @@ def bell2_spmv_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_kernel, K=K),
+        functools.partial(_bell2_kernel, K=K, run=run),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -197,7 +205,7 @@ def bell2_spmv_tiles(
 
 
 def _bell2_accum_kernel(
-    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1
 ):
     g = pl.program_id(0)
 
@@ -207,17 +215,21 @@ def _bell2_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
-    for k in range(K):
-        W = _stack_windows(x_ref, meta_ref, k)
-        gathered = _gather_x(W, pk_ref[0, k])
-        contrib = jnp.sum(vals_ref[0, k] * gathered, axis=0, keepdims=True)
-        y_ref[pl.ds(meta_ref[0, k, 0], 1), :] += contrib
+    for k0 in range(0, K, run):
+        acc = None
+        for k in range(k0, k0 + run):
+            W = _stack_windows(x_ref, meta_ref, k)
+            g = _gather_x(W, pk_ref[0, k])
+            vg = vals_ref[0, k] * g
+            acc = vg if acc is None else acc + vg
+        contrib = jnp.sum(acc, axis=0, keepdims=True)
+        y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret"),
+                     "interpret", "run"),
 )
 def bell2_spmv_tiles_accum(
     vals, packed, meta, step_block, x2d, y_tiles,
@@ -226,6 +238,7 @@ def bell2_spmv_tiles_accum(
     chunks_per_step: int,
     tiles_per_block: int,
     interpret: bool = False,
+    run: int = 1,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -259,7 +272,7 @@ def bell2_spmv_tiles_accum(
         out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_accum_kernel, K=K),
+        functools.partial(_bell2_accum_kernel, K=K, run=run),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -275,24 +288,26 @@ def bell2_spmv_tiles_accum(
 
 
 def _bell2_mm_kernel(
-    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1
 ):
     _zero_on_new_block(sb_ref, y_ref)
-    for k in range(K):
-        pk = pk_ref[0, k]
-        v = vals_ref[0, k]
-        sub = meta_ref[0, k, 0]
+    for k0 in range(0, K, run):
+        sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
-            W = _stack_windows_b(x_ref, meta_ref, k, b)
-            gathered = _gather_x(W, pk)
-            contrib = jnp.sum(v * gathered, axis=0, keepdims=True)
+            acc = None
+            for k in range(k0, k0 + run):
+                W = _stack_windows_b(x_ref, meta_ref, k, b)
+                g = _gather_x(W, pk_ref[0, k])
+                vg = vals_ref[0, k] * g
+                acc = vg if acc is None else acc + vg
+            contrib = jnp.sum(acc, axis=0, keepdims=True)
             y_ref[b, pl.ds(sub, 1), :] += contrib
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret"),
+                     "interpret", "run"),
 )
 def bell2_spmm_tiles(
     vals, packed, meta, step_block, x3d,
@@ -301,6 +316,7 @@ def bell2_spmm_tiles(
     chunks_per_step: int,
     tiles_per_block: int,
     interpret: bool = False,
+    run: int = 1,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     C = vals.shape[0]
@@ -310,7 +326,7 @@ def bell2_spmm_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B),
+        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -474,7 +490,8 @@ def sbell_spmm_tiles(
 
 
 def _bell2_mm_accum_kernel(
-    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
+    run=1
 ):
     g = pl.program_id(0)
 
@@ -484,21 +501,23 @@ def _bell2_mm_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
-    for k in range(K):
-        pk = pk_ref[0, k]
-        v = vals_ref[0, k]
-        sub = meta_ref[0, k, 0]
+    for k0 in range(0, K, run):
+        sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
-            W = _stack_windows_b(x_ref, meta_ref, k, b)
-            gathered = _gather_x(W, pk)
-            contrib = jnp.sum(v * gathered, axis=0, keepdims=True)
+            acc = None
+            for k in range(k0, k0 + run):
+                W = _stack_windows_b(x_ref, meta_ref, k, b)
+                g = _gather_x(W, pk_ref[0, k])
+                vg = vals_ref[0, k] * g
+                acc = vg if acc is None else acc + vg
+            contrib = jnp.sum(acc, axis=0, keepdims=True)
             y_ref[b, pl.ds(sub, 1), :] += contrib
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret"),
+                     "interpret", "run"),
 )
 def bell2_spmm_tiles_accum(
     vals, packed, meta, step_block, x3d, y_tiles,
@@ -507,6 +526,7 @@ def bell2_spmm_tiles_accum(
     chunks_per_step: int,
     tiles_per_block: int,
     interpret: bool = False,
+    run: int = 1,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
     C = vals.shape[0]
@@ -538,7 +558,7 @@ def bell2_spmm_tiles_accum(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B),
+        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -63,6 +63,7 @@ class Bell2Device:
     ncols: int = dataclasses.field(metadata=dict(static=True))
     chunks_per_step: int = dataclasses.field(metadata=dict(static=True))
     tiles_per_block: int = dataclasses.field(metadata=dict(static=True))
+    run_len: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -105,6 +106,7 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         ncols=plan.ncols,
         chunks_per_step=plan.chunks_per_step,
         tiles_per_block=plan.tiles_per_block,
+        run_len=plan.run_len,
     )
 
 
@@ -146,6 +148,7 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
+        run=dev.run_len,
     )
     return tiles.reshape(-1)[: dev.nrows]
 
@@ -160,6 +163,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
+        run=dev.run_len,
     )
     return tiles.reshape(B, -1)[:, : dev.nrows].T
 
@@ -196,6 +200,7 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             chunks_per_step=dev.far.chunks_per_step,
             tiles_per_block=BT,
             interpret=use_interpret(),
+            run=dev.far.run_len,
         )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles(
@@ -234,6 +239,7 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             chunks_per_step=dev.far.chunks_per_step,
             tiles_per_block=BT,
             interpret=use_interpret(),
+            run=dev.far.run_len,
         )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles_mm(

@@ -172,6 +172,8 @@ class DistSpDMV:
                     CSR.from_coo(fcoo), dtype=self.dtype,
                     chunks_per_step=self.K_ring, tiles_per_block=self.BT,
                     cover_all_tiles=False,
+                    # run length is a static kernel arg shared SPMD-wide
+                    allow_runs=False,
                 )
         return tuple(
             _pad_bell2(per_k[k], self.dtype) for k in range(self.ndev)
@@ -214,6 +216,7 @@ class DistSpDMV:
                     build_bell2_plan(
                         shard, dtype=self.dtype,
                         chunks_per_step=self.K, tiles_per_block=self.BT,
+                        allow_runs=False,
                     )
                 )
             self._far = _pad_bell2(plans, self.dtype)
@@ -350,6 +353,7 @@ class DistSpDMV:
                     build_bell2_plan(
                         CSR.from_coo(fcoo), dtype=self.dtype,
                         chunks_per_step=self.K, tiles_per_block=BT,
+                        allow_runs=False,
                     )
                 )
             dg = np.zeros(self.shard_rows, self.dtype)
