@@ -14,7 +14,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "power_iteration", "bicgstab", "jacobi", "chebyshev", "lanczos"]
+__all__ = ["cg", "power_iteration", "bicgstab", "gmres", "jacobi", "chebyshev", "lanczos"]
 
 
 def cg(
@@ -229,3 +229,56 @@ def lanczos(
         body, (v_prev, v, jnp.float32(0.0)), None, length=iters
     )
     return alphas, betas
+
+
+def gmres(
+    matvec: Callable,
+    b: jax.Array,
+    *,
+    restart: int = 32,
+    outer: int = 8,
+    x0: jax.Array | None = None,
+):
+    """Restarted GMRES(m) for general systems.
+
+    Fixed inner dimension and outer count keep every shape static; the
+    Arnoldi recurrence runs as a scan over the Krylov index with the
+    basis carried (classical Gram-Schmidt — adequate at the small
+    restart sizes used here), and the (m+1, m) least-squares solve stays
+    on-device. Returns (x, final residual norm, per-restart residuals).
+    """
+    from ..utils.timing import as_pure
+
+    fn, ops, encode, decode = as_pure(matvec)
+    b = jnp.asarray(encode(b))
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(encode(x0))
+    m = restart
+    n = b.shape[0]
+    eps = jnp.asarray(1e-30, b.dtype)
+
+    def cycle(x, _):
+        r = b - fn(ops, x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(
+            r / jnp.where(beta > eps, beta, 1.0)
+        )
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi(carry, j):
+            V, H = carry
+            w = fn(ops, V[j])
+            hcol = V @ w  # rows beyond j are zero, so they contribute 0
+            w = w - V.T @ hcol
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > eps, hj1, 1.0))
+            H = H.at[:, j].set(hcol).at[j + 1, j].set(hj1)
+            return (V, H), None
+
+        (V, H), _ = jax.lax.scan(arnoldi, (V, H), jnp.arange(m))
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + V[:m].T @ y, beta
+
+    x, betas = jax.lax.scan(cycle, x, None, length=outer)
+    r = b - fn(ops, x)
+    return decode(x), jnp.linalg.norm(r), betas

@@ -119,3 +119,27 @@ def test_power_and_lanczos(spd):
     ) + np.diag(np.asarray(betas)[:-1], -1)
     ev = np.linalg.eigvalsh(T)
     assert abs(ev.max() - lam_true) / lam_true < 5e-2
+
+
+def test_gmres_general():
+    rng = np.random.default_rng(6)
+    n = 400
+    r = rng.integers(0, n, 1600)
+    c = rng.integers(0, n, 1600)
+    v = rng.uniform(-0.3, 0.3, 1600)
+    r = np.concatenate([r, np.arange(n)])
+    c = np.concatenate([c, np.arange(n)])
+    v = np.concatenate([v, np.full(n, 6.0)])
+    csr = CSR.from_coo(
+        COO(n, n, r.astype(np.int32), c.astype(np.int32),
+            v.astype(np.float64)).canonicalize()
+    )
+    t = tune(csr, fmt=Format.CSR, reorder=False)
+    x_true = rng.uniform(-1, 1, n).astype(np.float32)
+    b = csr.spmv_host(x_true.astype(np.float64)).astype(np.float32)
+    x, resid, betas = solvers.gmres(
+        t.matvec, jnp.asarray(b), restart=25, outer=4
+    )
+    assert float(resid) < 1e-3 * np.linalg.norm(b)
+    assert np.allclose(np.asarray(x), x_true, atol=5e-3)
+    assert betas[-1] < betas[0]
