@@ -98,3 +98,45 @@ def test_truncated_body_rejected():
     )
     with pytest.raises(ValueError):
         read_mmf(_file(txt))
+
+
+def test_zero_based_variant():
+    """0-based coordinate variant (ref mmf.hpp:239-250)."""
+    import io
+
+    text = (
+        "%%MatrixMarket matrix coordinate real general 0-base\n"
+        "3 3 3\n0 0 1.5\n1 2 2.5\n2 0 3.5\n"
+    )
+    hdr, r, c, v = read_mmf(io.StringIO(text))
+    assert hdr.zero_based
+    np.testing.assert_array_equal(r, [0, 1, 2])
+    np.testing.assert_array_equal(c, [0, 2, 0])
+    np.testing.assert_allclose(v, [1.5, 2.5, 3.5])
+
+
+def test_column_major_file_sorted():
+    """Column-wise-listed files land (row, col) sorted regardless
+    (ref mmf.hpp:239-250 col-wise variant; here by full sort)."""
+    import io
+
+    text = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 4\n3 1 30.0\n1 1 10.0\n3 2 32.0\n2 2 22.0\n"
+    )
+    _, r, c, v = read_mmf(io.StringIO(text))
+    np.testing.assert_array_equal(r, [0, 1, 2, 2])
+    np.testing.assert_array_equal(c, [0, 1, 0, 1])
+    np.testing.assert_allclose(v, [10.0, 22.0, 30.0, 32.0])
+
+
+def test_integer_field():
+    import io
+
+    text = (
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "2 2 2\n1 1 4\n2 2 -7\n"
+    )
+    hdr, r, c, v = read_mmf(io.StringIO(text))
+    assert hdr.field == "integer"
+    np.testing.assert_allclose(v, [4.0, -7.0])
