@@ -25,9 +25,10 @@ layout built on *diagonal units*:
 
 Packed int32 bit layout per (subrow i, lane j):
   bits 0-6   q      gather lane, at position j = lane_r of the entry
-  bits 7-9   r2     window index, at position j = lane_c (== q)
+  bits 7-9   r2     window index, at position j = lane_c (== q);
+                    positions with no transpose entry hold the sentinel
+                    7 (excluded by every per-window mask)
   bits 10-16 perm   source lane (lane_r), at position j = lane_c
-  bit  17    valid  transpose-slot occupancy, at position j = lane_c
 """
 
 from __future__ import annotations
@@ -236,13 +237,13 @@ def build_sbell_plan(
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
     ec = remap[e_chunk]
     vals_arr[ec, e_sub, lane_r] = val.astype(dtype)
-    pk = np.zeros((C, SUBLANES, LANES), np.int32)
     q_field = np.zeros((C, SUBLANES, LANES), np.int32)
     q_field[ec, e_sub, lane_r] = lane_c
-    t_field = np.zeros((C, SUBLANES, LANES), np.int32)
-    t_field[ec, e_sub, lane_c] = (
-        (e_r2 << 7) | (lane_r << 10) | (1 << 17)
-    )
+    # positions with no transpose entry carry the window SENTINEL 7
+    # (>= any real transpose window, so the per-window masks exclude
+    # them) — replaces a separate validity bit and its kernel ops
+    t_field = np.full((C, SUBLANES, LANES), 7 << 7, np.int32)
+    t_field[ec, e_sub, lane_c] = (e_r2 << 7) | (lane_r << 10)
     pk = q_field | t_field
 
     plan = SBellPlan(

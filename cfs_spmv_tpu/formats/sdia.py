@@ -19,10 +19,10 @@ from .bell2 import LANES, SUBLANES
 
 __all__ = ["SDiaPlan", "extract_sdia", "SDIA_FILL", "SDIA_MIN_COUNT"]
 
-#: minimum fill (entries / diagonal length) for dense storage: below
-#: this the padding overhead of 4 B/slot loses to the 8 B/nnz paired
-#: stream
-SDIA_FILL = 0.5
+#: minimum fill (entries / diagonal length) for dense storage: measured
+#: crossover vs the slot-packed far stream is ~0.15 on v5e (SDIA scales
+#: as ~190*fill Gnnz/s, the far path ~29); 0.2 keeps a safety margin
+SDIA_FILL = 0.2
 #: absolute minimum entries per diagonal (avoids trace bloat on tiny
 #: dense-ish diagonals)
 SDIA_MIN_COUNT = 256

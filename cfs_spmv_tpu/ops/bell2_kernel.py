@@ -343,14 +343,14 @@ def bell2_spmm_tiles(
 
 
 def _sbell_transpose_part(pk, v, xw):
-    """Transpose products re-laned onto c % 128 (valid-masked)."""
+    """Transpose products re-laned onto c % 128 (empty positions carry
+    the r2 window sentinel, so the per-window masks exclude them)."""
     perm = (pk >> 10) & 0x7F
-    valid = ((pk >> 17) & 1).astype(v.dtype)
     XP = jnp.take_along_axis(
         jnp.broadcast_to(xw, (SUBLANES, LANES)), perm, axis=1
     )
     VP = jnp.take_along_axis(v, perm, axis=1)
-    return VP * XP * valid
+    return VP * XP
 
 
 def _sbell_kernel(

@@ -54,8 +54,7 @@ def decode_sbell_pairs(plan):
                 pk_t = plan.packed[c, i, q]
                 r2 = (pk_t >> 7) & 0x7
                 perm = (pk_t >> 10) & 0x7F
-                valid = (pk_t >> 17) & 1
-                assert valid == 1, "transpose slot not marked valid"
+                assert r2 != 7, "transpose slot holds the empty sentinel"
                 assert perm == j, "perm must point back at lane_r"
                 win = plan.meta[c, 2 + r2]
                 r = tile * LANES + j
