@@ -43,8 +43,38 @@ def _sym_pattern(csr):
     return indptr, c
 
 
+def _bfs_farthest(indptr, indices, deg, start) -> int:
+    """Last-level min-degree node of a BFS from ``start`` (one arm of
+    the Gibbs–Poole–Stockmeyer pseudo-diameter sweep)."""
+    n = len(deg)
+    seen = np.zeros(n, bool)
+    seen[start] = True
+    frontier = np.array([start], np.int64)
+    last = frontier
+    while len(frontier):
+        lens = deg[frontier]
+        total = int(lens.sum())
+        if total == 0:
+            break
+        starts = indptr[frontier]
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        flat = np.arange(total) - offs + np.repeat(starts, lens)
+        nbrs = np.unique(indices[flat])
+        nbrs = nbrs[~seen[nbrs]]
+        if len(nbrs) == 0:
+            break
+        seen[nbrs] = True
+        last = frontier = nbrs
+    return int(last[np.argmin(deg[last])])
+
+
 def rcm_permutation(csr) -> np.ndarray:
-    """Reverse Cuthill–McKee: ``perm[i]`` = old index of new row i."""
+    """Reverse Cuthill–McKee: ``perm[i]`` = old index of new row i.
+
+    Component starts use a pseudo-diameter double-BFS sweep (GPS
+    heuristic) from a min-degree node — peripheral starts typically
+    shrink the envelope a further 10-30% over min-degree alone.
+    """
     n = csr.nrows
     indptr, indices = _sym_pattern(csr)
     deg = np.diff(indptr)
@@ -57,6 +87,11 @@ def rcm_permutation(csr) -> np.ndarray:
         while visited[by_deg[unv_min]]:
             unv_min += 1
         start = by_deg[unv_min]
+        if deg[start]:  # pseudo-diameter sweep (2 BFS passes)
+            start = _bfs_farthest(
+                indptr, indices, deg,
+                _bfs_farthest(indptr, indices, deg, start),
+            )
         visited[start] = True
         order[pos] = start
         pos += 1
