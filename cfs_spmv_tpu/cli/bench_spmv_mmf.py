@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     loops = int(argv[2])
     rest = argv[3:]
     dtype = np.float64 if "--dp" in rest else np.float32
+    if dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
     rhs = int(rest[rest.index("--rhs") + 1]) if "--rhs" in rest else 0
 
     A = SparseMatrix.create(mmf_file, fmt)

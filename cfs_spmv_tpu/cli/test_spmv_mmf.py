@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
 
     mmf_file, fmt = argv[0], parse_format(argv[1])
     dtype = np.float64 if "--dp" in argv[2:] else np.float32
+    if dtype == np.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     A = SparseMatrix.create(mmf_file, fmt)
     M, N = A.nrows, A.ncols

@@ -213,6 +213,14 @@ def tune(
         tuned = _permuted(tuned, perm)
     if bsr is not None:
         tuned = dataclasses.replace(tuned, format=Format.BSR, bsr=bsr)
+    if tuned.spill_fraction > _cfg.spill_warn_fraction:
+        from ..utils.logging import warn
+
+        warn(
+            "tune: %.0f%% of nonzeros fell to the one-sided far stream "
+            "(scattered structure; consider reorder=True)",
+            100 * tuned.spill_fraction,
+        )
     info(
         "tune: fmt=%s nnz=%d pad=%.2fx far=%.4f reorder=%s",
         tuned.format, tuned.nnz_full, tuned.padding_ratio,

@@ -38,23 +38,11 @@ def env_flag(name: str, default: bool) -> bool:
 
 @dataclasses.dataclass
 class Config:
-    # --- tile geometry (hardware-derived; v5e VPU is 8x128) ---
-    #: rows per output tile == lane count (analog of BlkFactor=16,
-    #: ref csr_matrix.hpp:90, scaled to the TPU lane width)
-    lane_rows: int = 128
-    #: nnz positions per chunk == sublane count
-    sublanes: int = 8
-    #: x-window size in elements per chunk (8 sublane rows x 128 lanes)
-    window: int = 1024
-
     # --- tuning ---
-    #: max spill fraction before tune() warns that the matrix is a bad fit
-    #: for the banded layout (analog of the HYB threshold decision,
+    #: far-stream fraction above which tune() warns that the symmetric
+    #: layout is a bad fit (analog of the HYB threshold decision,
     #: ref csr_matrix.tpp:313-401)
-    spill_warn_fraction: float = 0.05
-    #: load-balancing passes for partitioners (ref BalancingSteps=10,
-    #: csr_matrix.hpp:93)
-    balancing_steps: int = 10
+    spill_warn_fraction: float = 0.3
 
     # --- runtime ---
     #: number of devices to use (0 = all); env CFS_NUM_DEVICES mirrors the
