@@ -79,3 +79,11 @@ def test_cli_bench_dist_weak(mtx_path, capsys):
 
     assert run_dist_cli([mtx_path, "4", "--devices", "2", "--weak"]) == 0
     assert "efficiency:" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("rival", ["3", "4"])
+def test_cli_bench_rivals(mtx_path, rival, capsys):
+    """Rival backends (reference codes 3=MKL/4=RSB → here BCOO/dense)."""
+    assert run_bench_cli([mtx_path, rival, "4"]) == 0
+    out = capsys.readouterr().out
+    assert ("BCOO" if rival == "3" else "DENSE") in out
