@@ -92,7 +92,7 @@ def make_stencil27(g=40, dtype=np.float32, seed=0):
     return CSR.from_coo(coo)
 
 
-def bench_one(name, csr, *, iters=2000, dtype=np.float32):
+def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same"):
     from cfs_spmv_tpu.utils.timing import time_matvec
     from cfs_spmv_tpu import Format, SparseMatrix, SpDMV, Tuning
     from cfs_spmv_tpu.utils import roofline
@@ -100,7 +100,7 @@ def bench_one(name, csr, *, iters=2000, dtype=np.float32):
 
     A = SparseMatrix.create(csr, Format.SSS if csr.symmetric else Format.CSR)
     t0 = time.perf_counter()
-    sp = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype)
+    sp = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype, values=values)
     t_pre = time.perf_counter() - t0
 
     n = A.ncols
@@ -108,9 +108,12 @@ def bench_one(name, csr, *, iters=2000, dtype=np.float32):
 
     # correctness gate (the bench result is meaningless if wrong)
     y = np.asarray(sp(x))
+    import jax.numpy as jnp
+
     xd = x.astype(np.float64)
     ok = allclose_spmv(
-        y, A.csr.spmv_host(xd), dtype=dtype,
+        y, A.csr.spmv_host(xd),
+        dtype=jnp.bfloat16 if values == "bfloat16" else dtype,
         nnz_per_row=A.tuned.nnz_full / max(A.nrows, 1),
         scale=A.csr.spmv_host(xd, absolute=True),
     )
@@ -152,6 +155,9 @@ def main():
     results = []
     results.append(bench_one("cant_proxy_sym", make_cant_proxy()))
     results.append(bench_one("stencil27_sym", make_stencil27()))
+    # capability extra: bf16 value storage (looser tolerances; the
+    # headline metric stays fp32)
+    bench_one("cant_proxy_sym_bf16", make_cant_proxy(), values="bfloat16")
 
     head = results[0]
     value = head["nnz_s"] if head["ok"] else 0.0
