@@ -11,11 +11,12 @@ on argv; none are checked in) and this host has no network, so the bench
 synthesizes a cant-proxy: 62464 rows, symmetric, banded FEM-like
 structure with uniform row degree ~64 — the shape/density of `cant`
 (BASELINE config 2). Secondary lines cover a 3D 27-point stencil
-(nlpkkt-like) and a scattered stress case.
+(nlpkkt-like) and the cant proxy with bfloat16 value storage.
 
 Timing protocol: the axon tunnel has ~31 ms fixed round-trip latency, so
 iterations run inside one jitted fori_loop with a data dependency that
-prevents hoisting; latency is measured with an empty loop and subtracted.
+prevents hoisting; the two-point measurement (T(2k) - T(k)) / k cancels
+the fixed dispatch cost exactly (utils/timing.py).
 
 Prints ONE JSON line to stdout:
   {"metric": "sym_spmv_nnz_s", "value": <nnz/s>, "unit": "nnz/s",

@@ -185,8 +185,12 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             transpose_windows=dev.transpose_windows,
             interpret=use_interpret(),
         )
+        diag_done = False
     else:
-        tiles = jnp.zeros((dev.num_row_tiles, LANES), dev.diag.dtype)
+        # seed the accumulating streams with D x directly — saves the
+        # separate add pass on the pure-SDIA (flagship) path
+        tiles = pad_x(dev.diag * x, dev.num_row_tiles)
+        diag_done = True
     if dev.far is not None:
         # far residual accumulates straight into the paired tiles
         # (sparse stream; unvisited blocks keep their values)
@@ -207,7 +211,8 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             dev.dia_vals, x2d, tiles[: dev.num_row_tiles],
             offsets=dev.dia_offsets, interpret=use_interpret(),
         )
-    return tiles.reshape(-1)[: dev.nrows] + dev.diag * x
+    y = tiles.reshape(-1)[: dev.nrows]
+    return y if diag_done else y + dev.diag * x
 
 
 def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
@@ -222,10 +227,13 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             transpose_windows=dev.transpose_windows,
             interpret=use_interpret(),
         )
+        diag_done = False
     else:
-        tiles = jnp.zeros(
-            (B, dev.num_row_tiles, LANES), dev.diag.dtype
+        tiles = jnp.stack(
+            [pad_x(dev.diag * x[:, b], dev.num_row_tiles)
+             for b in range(B)]
         )
+        diag_done = True
     if dev.far is not None:
         BT = dev.far.tiles_per_block
         tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
@@ -246,4 +254,5 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             dev.dia_vals, x3d, tiles[:, : dev.num_row_tiles],
             offsets=dev.dia_offsets, interpret=use_interpret(),
         )
-    return tiles.reshape(B, -1)[:, : dev.nrows].T + dev.diag[:, None] * x
+    Y = tiles.reshape(B, -1)[:, : dev.nrows].T
+    return Y if diag_done else Y + dev.diag[:, None] * x

@@ -12,9 +12,11 @@ split (``split_by_bandwidth``, ``tpp:313-401``) at pod scale:
 - the *paired symmetric near stream* (entries whose row and column live
   in the same output block, hence the same shard) reads only the
   device's own x segment — NO communication at all;
-- only the *far stream* (plus general asymmetric matrices) needs the
-  full x, obtained with one ``all_gather`` over the mesh — the
-  collective replacement for the reference's shared read-only x.
+- only the *far stream* (plus general asymmetric matrices) needs
+  remote x: either one ``all_gather`` over the mesh (comm="gather") or
+  a ``ppermute`` ring that overlaps each rotation with the partial SpMV
+  against the arriving segment (comm="ring") — the collective
+  replacements for the reference's shared read-only x.
 
 Each device produces exactly its own y rows, so there is no cross-device
 scatter or psum: conflict-freedom by partition, as in the paper, but

@@ -29,8 +29,10 @@ class TunedMatrix:
     """A tuned, device-resident matrix with bound apply functions.
 
     The analog of a tuned ``CSRMatrix`` with its ``spmv_fn`` pointer bound
-    (``csr_matrix.hpp:124``); binding here closes over device arrays and
-    returns jitted callables.
+    (``csr_matrix.hpp:124``). The appliers are pure functions of
+    (operands, x): the device pytree always travels as a jit argument —
+    closures over device arrays would be re-embedded as module constants
+    by any outer jit.
     """
 
     format: Format
