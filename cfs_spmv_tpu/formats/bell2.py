@@ -83,6 +83,10 @@ class Bell2Plan:
     #: register and does one sum + read-modify-write per run (every
     #: tile's chunk count is padded to a run multiple)
     run_len: int = 1
+    #: static per-chunk window capacity: the kernel stacks only this
+    #: many window rows (slot-packed plans rarely need more than 4;
+    #: fewer stacks = fewer VMEM loads per chunk)
+    max_windows: int = SUBLANES
 
     @property
     def num_chunks(self) -> int:
@@ -294,16 +298,17 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
-def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True):
+def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
+                        max_windows=SUBLANES):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Returns pack_chunks-shaped outputs in
     ORIGINAL entry order."""
     order = np.lexsort((q, seg, tile))
     ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
-    packed = _native.pack_slots(ts, lrs, sgs, qs, SUBLANES)
+    packed = _native.pack_slots(ts, lrs, sgs, qs, max_windows)
     if packed is None:
-        packed = _native.pack_slots_py(ts, lrs, sgs, qs, SUBLANES)
+        packed = _native.pack_slots_py(ts, lrs, sgs, qs, max_windows)
     e_chunk_s, e_sub_s, e_r2_s, chunk_tiles, windows, nwin = packed
     e_chunk = np.empty(len(order), np.int64)
     e_sub = np.empty(len(order), np.int64)
@@ -423,15 +428,22 @@ def build_bell2_plan(
     avg_per_ts = nnz / max(
         len(np.unique(tile * (x_rows + 1) + seg)), 1
     )
+    # full 8 windows: caps of 4/6 saved loads but cost 14% more
+    # chunks at scale (fill dominates); keep the knob, default 8
+    slot_windows = SUBLANES
     packed_alt = None
     if slot_ok and avg_per_ts < 24:
         packed_alt = _pack_slots_entries(
-            tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
+            tile, lane, seg, q, T, ensure_tiles=cover_all_tiles,
+            max_windows=slot_windows,
         )
     run_len = 1
+    wmax = SUBLANES
     if packed_alt is not None:
         info("bell2: slot packing (%.1f nnz per tile-seg)", avg_per_ts)
         e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
+        if allow_runs:
+            wmax = slot_windows  # static; pinned to 8 for SPMD plans
         if allow_runs and K % 4 == 0:
             # slot-packed (scattered) plans carry many chunks per tile;
             # batching 4 same-tile chunks per flush pays its padding
@@ -451,7 +463,8 @@ def build_bell2_plan(
             # mispredicted: retry with the slot packer and keep the
             # smaller plan
             alt = _pack_slots_entries(
-                tile, lane, seg, q, T, ensure_tiles=cover_all_tiles
+                tile, lane, seg, q, T, ensure_tiles=cover_all_tiles,
+                max_windows=slot_windows,
             )
             if alt is not None and len(alt[3]) < len(chunk_tiles):
                 info(
@@ -459,6 +472,13 @@ def build_bell2_plan(
                     len(chunk_tiles), len(alt[3]),
                 )
                 e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
+                if allow_runs:
+                    wmax = slot_windows
+                if allow_runs and K % 4 == 0:
+                    run_len = 4
+                    (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
+                        e_chunk, chunk_tiles, windows, nwin, run_len
+                    )
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles
@@ -483,7 +503,7 @@ def build_bell2_plan(
 
     plan = Bell2Plan(
         n, m, nnz, vals_arr, packed, meta, step_block,
-        T, x_rows, K, BT, run_len,
+        T, x_rows, K, BT, run_len, wmax,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",

@@ -45,25 +45,25 @@ __all__ = [
 ]
 
 
-def _stack_windows(x_ref, meta_ref, k):
-    """(8, 128) register of the chunk's x windows."""
-    return jnp.concatenate(
-        [
-            x_ref[pl.ds(meta_ref[0, k, 2 + i], 1), :]
-            for i in range(SUBLANES)
-        ],
-        axis=0,
-    )
+def _stack_windows(x_ref, meta_ref, k, wmax=SUBLANES):
+    """(8, 128) register of the chunk's x windows (only the first
+    ``wmax`` rows are loaded; the rest are zeros — slot-packed plans cap
+    windows at 4, halving the per-chunk VMEM loads)."""
+    rows = [
+        x_ref[pl.ds(meta_ref[0, k, 2 + i], 1), :] for i in range(wmax)
+    ]
+    if wmax < SUBLANES:
+        rows.append(jnp.zeros((SUBLANES - wmax, LANES), x_ref.dtype))
+    return jnp.concatenate(rows, axis=0)
 
 
-def _stack_windows_b(x_ref, meta_ref, k, b):
-    return jnp.concatenate(
-        [
-            x_ref[b, pl.ds(meta_ref[0, k, 2 + i], 1), :]
-            for i in range(SUBLANES)
-        ],
-        axis=0,
-    )
+def _stack_windows_b(x_ref, meta_ref, k, b, wmax=SUBLANES):
+    rows = [
+        x_ref[b, pl.ds(meta_ref[0, k, 2 + i], 1), :] for i in range(wmax)
+    ]
+    if wmax < SUBLANES:
+        rows.append(jnp.zeros((SUBLANES - wmax, LANES), x_ref.dtype))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _stack_windows_slim(x_ref, meta_ref, k, nwin):
@@ -104,14 +104,14 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
-                  run=1):
+                  run=1, wmax=SUBLANES):
     _zero_on_new_block(sb_ref, y_ref)
     for k0 in range(0, K, run):
         # a run's chunks share one row tile: accumulate in register and
         # flush one sum + read-modify-write per run
         acc = None
         for k in range(k0, k0 + run):
-            W = _stack_windows(x_ref, meta_ref, k)
+            W = _stack_windows(x_ref, meta_ref, k, wmax)
             g = _gather_x(W, pk_ref[0, k])
             vg = vals_ref[0, k] * g
             acc = vg if acc is None else acc + vg
@@ -166,7 +166,7 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run"),
+                     "interpret", "run", "wmax"),
 )
 def bell2_spmv_tiles(
     vals, packed, meta, step_block, x2d,
@@ -176,6 +176,7 @@ def bell2_spmv_tiles(
     tiles_per_block: int,
     interpret: bool = False,
     run: int = 1,
+    wmax: int = SUBLANES,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream."""
     C = vals.shape[0]
@@ -184,7 +185,7 @@ def bell2_spmv_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_kernel, K=K, run=run),
+        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -205,7 +206,8 @@ def bell2_spmv_tiles(
 
 
 def _bell2_accum_kernel(
-    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
+    wmax=SUBLANES,
 ):
     g = pl.program_id(0)
 
@@ -218,7 +220,7 @@ def _bell2_accum_kernel(
     for k0 in range(0, K, run):
         acc = None
         for k in range(k0, k0 + run):
-            W = _stack_windows(x_ref, meta_ref, k)
+            W = _stack_windows(x_ref, meta_ref, k, wmax)
             g = _gather_x(W, pk_ref[0, k])
             vg = vals_ref[0, k] * g
             acc = vg if acc is None else acc + vg
@@ -229,7 +231,7 @@ def _bell2_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run"),
+                     "interpret", "run", "wmax"),
 )
 def bell2_spmv_tiles_accum(
     vals, packed, meta, step_block, x2d, y_tiles,
@@ -239,6 +241,7 @@ def bell2_spmv_tiles_accum(
     tiles_per_block: int,
     interpret: bool = False,
     run: int = 1,
+    wmax: int = SUBLANES,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -272,7 +275,7 @@ def bell2_spmv_tiles_accum(
         out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_accum_kernel, K=K, run=run),
+        functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -288,7 +291,8 @@ def bell2_spmv_tiles_accum(
 
 
 def _bell2_mm_kernel(
-    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1
+    sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
+    wmax=SUBLANES,
 ):
     _zero_on_new_block(sb_ref, y_ref)
     for k0 in range(0, K, run):
@@ -296,7 +300,7 @@ def _bell2_mm_kernel(
         for b in range(n_rhs):
             acc = None
             for k in range(k0, k0 + run):
-                W = _stack_windows_b(x_ref, meta_ref, k, b)
+                W = _stack_windows_b(x_ref, meta_ref, k, b, wmax)
                 g = _gather_x(W, pk_ref[0, k])
                 vg = vals_ref[0, k] * g
                 acc = vg if acc is None else acc + vg
@@ -307,7 +311,7 @@ def _bell2_mm_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run"),
+                     "interpret", "run", "wmax"),
 )
 def bell2_spmm_tiles(
     vals, packed, meta, step_block, x3d,
@@ -317,6 +321,7 @@ def bell2_spmm_tiles(
     tiles_per_block: int,
     interpret: bool = False,
     run: int = 1,
+    wmax: int = SUBLANES,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     C = vals.shape[0]
@@ -326,7 +331,7 @@ def bell2_spmm_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run),
+        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -491,7 +496,7 @@ def sbell_spmm_tiles(
 
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
-    run=1
+    run=1, wmax=SUBLANES,
 ):
     g = pl.program_id(0)
 
@@ -506,7 +511,7 @@ def _bell2_mm_accum_kernel(
         for b in range(n_rhs):
             acc = None
             for k in range(k0, k0 + run):
-                W = _stack_windows_b(x_ref, meta_ref, k, b)
+                W = _stack_windows_b(x_ref, meta_ref, k, b, wmax)
                 g = _gather_x(W, pk_ref[0, k])
                 vg = vals_ref[0, k] * g
                 acc = vg if acc is None else acc + vg
@@ -517,7 +522,7 @@ def _bell2_mm_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run"),
+                     "interpret", "run", "wmax"),
 )
 def bell2_spmm_tiles_accum(
     vals, packed, meta, step_block, x3d, y_tiles,
@@ -527,6 +532,7 @@ def bell2_spmm_tiles_accum(
     tiles_per_block: int,
     interpret: bool = False,
     run: int = 1,
+    wmax: int = SUBLANES,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
     C = vals.shape[0]
@@ -558,7 +564,7 @@ def bell2_spmm_tiles_accum(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run),
+        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run, wmax=wmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -64,6 +64,9 @@ class Bell2Device:
     chunks_per_step: int = dataclasses.field(metadata=dict(static=True))
     tiles_per_block: int = dataclasses.field(metadata=dict(static=True))
     run_len: int = dataclasses.field(default=1, metadata=dict(static=True))
+    max_windows: int = dataclasses.field(
+        default=8, metadata=dict(static=True)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -107,6 +110,7 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         chunks_per_step=plan.chunks_per_step,
         tiles_per_block=plan.tiles_per_block,
         run_len=plan.run_len,
+        max_windows=plan.max_windows,
     )
 
 
@@ -149,6 +153,7 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
         run=dev.run_len,
+        wmax=dev.max_windows,
     )
     return tiles.reshape(-1)[: dev.nrows]
 
@@ -164,6 +169,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         tiles_per_block=dev.tiles_per_block,
         interpret=use_interpret(),
         run=dev.run_len,
+        wmax=dev.max_windows,
     )
     return tiles.reshape(B, -1)[:, : dev.nrows].T
 
@@ -205,6 +211,7 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             tiles_per_block=BT,
             interpret=use_interpret(),
             run=dev.far.run_len,
+            wmax=dev.far.max_windows,
         )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles(
@@ -248,6 +255,7 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             tiles_per_block=BT,
             interpret=use_interpret(),
             run=dev.far.run_len,
+            wmax=dev.far.max_windows,
         )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles_mm(
