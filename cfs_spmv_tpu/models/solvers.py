@@ -23,12 +23,15 @@ def cg(
     *,
     iters: int = 50,
     x0: jax.Array | None = None,
+    diag_precond: jax.Array | None = None,
 ):
-    """Fixed-iteration Conjugate Gradient for SPD systems.
+    """Fixed-iteration (optionally Jacobi-preconditioned) Conjugate
+    Gradient for SPD systems.
 
     Fixed trip count keeps shapes/control flow static under jit (XLA
     requirement); residual norm is returned for convergence checks on the
-    host. fp32 accumulation with one fp64-free Polak update per step.
+    host. ``diag_precond`` is the matrix diagonal in USER ordering; when
+    given, the iteration solves M^{-1}A x = M^{-1}b with M = diag(A).
     """
     from ..utils.timing import as_pure
 
@@ -39,9 +42,15 @@ def cg(
     fn, ops, encode, decode = as_pure(matvec)
     b = jnp.asarray(encode(b))
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(encode(x0))
+    minv = (
+        1.0 / jnp.asarray(encode(diag_precond))
+        if diag_precond is not None
+        else None
+    )
     r = b - fn(ops, x)
-    p = r
-    rs = jnp.vdot(r, r)
+    z = r * minv if minv is not None else r
+    p = z
+    rs = jnp.vdot(r, z)
 
     eps = jnp.asarray(1e-30, b.dtype)
 
@@ -54,14 +63,15 @@ def cg(
         alpha = rs / jnp.where(jnp.abs(pAp) > eps, pAp, eps)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / jnp.where(rs > eps, rs, eps)) * p
-        return (x, r, p, rs_new), rs_new
+        z = r * minv if minv is not None else r
+        rs_new = jnp.vdot(r, z)
+        p = z + (rs_new / jnp.where(jnp.abs(rs) > eps, rs, eps)) * p
+        return (x, r, p, rs_new), jnp.vdot(r, r)
 
     (x, r, _, rs), hist = jax.lax.scan(
         body, (x, r, p, rs), None, length=iters
     )
-    return decode(x), jnp.sqrt(rs), jnp.sqrt(hist)
+    return decode(x), jnp.linalg.norm(r), jnp.sqrt(hist)
 
 
 def power_iteration(matvec: Callable, n: int, *, iters: int = 100, seed: int = 0):

@@ -143,3 +143,35 @@ def test_gmres_general():
     assert float(resid) < 1e-3 * np.linalg.norm(b)
     assert np.allclose(np.asarray(x), x_true, atol=5e-3)
     assert betas[-1] < betas[0]
+
+
+def test_pcg_jacobi_beats_cg_on_illconditioned():
+    """Jacobi-PCG on a badly scaled SPD system converges faster."""
+    rng = np.random.default_rng(11)
+    n = 800
+    scale = 10.0 ** rng.uniform(-2, 2, n)  # wild row scaling
+    rows = np.repeat(np.arange(n, dtype=np.int64), 3)
+    offs = np.tile(np.arange(1, 4, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    r = np.concatenate([rows[keep], np.arange(n)])
+    c = np.concatenate([cols[keep], np.arange(n)])
+    off_v = rng.uniform(-0.5, 0.5, keep.sum()) * np.sqrt(
+        scale[rows[keep]] * scale[cols[keep]]
+    )
+    v = np.concatenate([off_v, 7.0 * scale])
+    csr = CSR.from_coo(
+        COO(n, n, r.astype(np.int32), c.astype(np.int32),
+            v.astype(np.float64), symmetric=True).canonicalize()
+    )
+    t = tune(csr, fmt=Format.SSS)
+    _, diag, _ = csr.split_triangle()
+    x_true = rng.uniform(-1, 1, n).astype(np.float32)
+    b = csr.spmv_host(x_true.astype(np.float64)).astype(np.float32)
+    _, r_plain, _ = solvers.cg(t.matvec, jnp.asarray(b), iters=40)
+    xp, r_pcg, _ = solvers.cg(
+        t.matvec, jnp.asarray(b), iters=40,
+        diag_precond=jnp.asarray(diag.astype(np.float32)),
+    )
+    assert float(r_pcg) < float(r_plain)
+    assert np.allclose(np.asarray(xp), x_true, atol=1e-2)
