@@ -54,6 +54,40 @@ class CSR:
             coo.symmetric,
         )
 
+    @staticmethod
+    def from_scipy(mat, *, symmetric: bool = False) -> "CSR":
+        """Adopt any scipy.sparse matrix (converted to CSR).
+
+        ``symmetric=True`` asserts the matrix is symmetric and keeps
+        only the lower triangle (the SSS storage contract).
+        """
+        import scipy.sparse as sp
+
+        m = sp.csr_matrix(mat)
+        m.sum_duplicates()
+        m.sort_indices()
+        if symmetric:
+            if (m != m.T).nnz:  # noqa: SIM201 — scipy sparse compare
+                raise ValueError("symmetric=True but matrix is not")
+            m = sp.csr_matrix(sp.tril(m))
+        return CSR(
+            m.shape[0], m.shape[1],
+            m.indptr.astype(np.int64), m.indices.astype(np.int32),
+            m.data.copy(), symmetric,
+        )
+
+    def to_scipy(self):
+        """Export as scipy.sparse.csr_matrix (symmetric storage is
+        expanded to the full matrix)."""
+        import scipy.sparse as sp
+
+        coo = self.to_coo()
+        if self.symmetric:
+            coo = coo.expand_symmetric()
+        return sp.csr_matrix(
+            (coo.val, (coo.row, coo.col)), shape=(self.nrows, self.ncols)
+        )
+
     def to_coo(self) -> COO:
         row = np.repeat(
             np.arange(self.nrows, dtype=np.int32), np.diff(self.indptr)

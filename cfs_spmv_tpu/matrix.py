@@ -68,6 +68,8 @@ class SparseMatrix:
             csr = CSR.from_coo(coo)
         elif isinstance(source, CSR):
             csr = source
+        elif type(source).__module__.startswith("scipy.sparse"):
+            csr = CSR.from_scipy(source, symmetric=want_sym)
         else:
             raise TypeError(f"cannot create SparseMatrix from {type(source)}")
         if dtype is not None:

@@ -96,3 +96,35 @@ def test_csr_validate():
         notlower.indices[0] = 99  # above the diagonal for row 0
         with pytest.raises(ValueError):
             notlower.validate()
+
+
+def test_scipy_interop():
+    import pytest
+
+    scipy = pytest.importorskip("scipy")
+    import scipy.sparse as sp
+
+    from cfs_spmv_tpu import Format, SparseMatrix
+    from cfs_spmv_tpu.formats.csr import CSR
+    from conftest import random_x
+
+    rng = np.random.default_rng(0)
+    d = sp.random(300, 300, density=0.02, random_state=1, format="csr")
+    m = (d + d.T).tocsr()  # symmetric
+    csr = CSR.from_scipy(m, symmetric=True)
+    assert csr.symmetric
+    x = rng.uniform(1, 2, 300)
+    np.testing.assert_allclose(
+        csr.spmv_host(x), m @ x, rtol=1e-12, atol=1e-12
+    )
+    # round-trip
+    back = csr.to_scipy()
+    assert (back != m).nnz == 0
+
+    # factory accepts scipy directly
+    A = SparseMatrix.create(m, Format.SSS)
+    y = np.asarray(A.dense_vector_multiply(x.astype(np.float64)))
+    np.testing.assert_allclose(y, m @ x, rtol=1e-8)
+
+    with pytest.raises(ValueError):
+        CSR.from_scipy(d, symmetric=True)  # not symmetric
