@@ -45,6 +45,76 @@ __all__ = [
 ]
 
 
+def _no_x64(fn):
+    """Trace the kernel body with x64 semantics off.
+
+    Under ``jax_enable_x64`` Python literals in index maps and
+    ``take_along_axis`` indices trace to 64-bit values that Mosaic
+    cannot lower ("64-bit types are not supported"). All Pallas-path
+    operands are explicitly 32-bit or narrower, so disabling extended
+    precision for the trace is semantics-preserving. fp64 inputs never
+    reach this layer (they route through the XLA COO path)."""
+    try:
+        from jax._src.config import enable_x64 as _x64_ctx
+    except ImportError:  # private API moved: rely on _i32map/_take_i32
+        return fn
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if any(
+            getattr(a, "dtype", None) is not None
+            and jnp.dtype(a.dtype).itemsize == 8
+            for a in args
+        ):
+            # fp64 operands only occur in interpreter mode (CPU tests);
+            # keep x64 semantics there
+            return fn(*args, **kwargs)
+        with _x64_ctx(False):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def _i32map(fn):
+    """Pin a BlockSpec index_map's components to int32.
+
+    Python int literals in index maps trace to int64 constants under
+    ``jax_enable_x64``, giving Mosaic an unlowerable i64 transform
+    function ("failed to legalize operation 'func.func'")."""
+
+    def wrapped(*args):
+        return tuple(
+            jnp.int32(c) if isinstance(c, int) else c for c in fn(*args)
+        )
+
+    return wrapped
+
+
+def _take_i32(a, idx, axis):
+    """``jnp.take_along_axis`` with int32 indices and in-bounds mode.
+
+    ``take_along_axis`` converts indices to the default int dtype, which
+    is int64 under ``jax_enable_x64`` — unlowerable on TPU Pallas (no
+    64-bit lanes). All kernel indices here are in-bounds by construction
+    (bit-masked to 0..127 / 0..7), so emit the gather directly.
+    """
+    batch = 1 - axis
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(axis,),
+        start_index_map=(axis,),
+        operand_batching_dims=(batch,),
+        start_indices_batching_dims=(batch,),
+    )
+    return jax.lax.gather(
+        a,
+        idx.astype(jnp.int32)[..., None],
+        dnums,
+        slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def _stack_windows(x_ref, meta_ref, k, wmax=SUBLANES):
     """(8, 128) register of the chunk's x windows (only the first
     ``wmax`` rows are loaded; the rest are zeros — slot-packed plans cap
@@ -89,8 +159,8 @@ def _gather_x(W, pk):
         pk = pk.astype(jnp.int32)
     q = pk & 0x7F
     r2 = (pk >> 7) & 0x7
-    G = jnp.take_along_axis(W, r2, axis=0)
-    return jnp.take_along_axis(G, q, axis=1)
+    G = _take_i32(W, r2, axis=0)
+    return _take_i32(G, q, axis=1)
 
 
 def _zero_on_new_block(sb_ref, y_ref):
@@ -125,18 +195,18 @@ def _grid_spec(G, K, BT):
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, META_W), lambda g, s: (g, 0, 0),
+                (1, K, META_W), _i32map(lambda g, s: (g, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+        out_specs=pl.BlockSpec((BT, LANES), _i32map(lambda g, s: (s[g], 0))),
     )
 
 
@@ -146,19 +216,19 @@ def _grid_spec_mm(G, K, BT, B):
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, META_W), lambda g, s: (g, 0, 0),
+                (1, K, META_W), _i32map(lambda g, s: (g, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, BT, LANES), lambda g, s: (0, s[g], 0)
+            (B, BT, LANES), _i32map(lambda g, s: (0, s[g], 0))
         ),
     )
 
@@ -168,6 +238,7 @@ def _grid_spec_mm(G, K, BT, B):
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax"),
 )
+@_no_x64
 def bell2_spmv_tiles(
     vals, packed, meta, step_block, x2d,
     *,
@@ -233,6 +304,7 @@ def _bell2_accum_kernel(
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax"),
 )
+@_no_x64
 def bell2_spmv_tiles_accum(
     vals, packed, meta, step_block, x2d, y_tiles,
     *,
@@ -260,19 +332,19 @@ def bell2_spmv_tiles_accum(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, META_W), lambda g, s: (g, 0, 0),
+                (1, K, META_W), _i32map(lambda g, s: (g, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+            pl.BlockSpec((BT, LANES), _i32map(lambda g, s: (s[g], 0))),
         ],
-        out_specs=pl.BlockSpec((BT, LANES), lambda g, s: (s[g], 0)),
+        out_specs=pl.BlockSpec((BT, LANES), _i32map(lambda g, s: (s[g], 0))),
     )
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax),
@@ -313,6 +385,7 @@ def _bell2_mm_kernel(
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax"),
 )
+@_no_x64
 def bell2_spmm_tiles(
     vals, packed, meta, step_block, x3d,
     *,
@@ -351,10 +424,10 @@ def _sbell_transpose_part(pk, v, xw):
     """Transpose products re-laned onto c % 128 (empty positions carry
     the r2 window sentinel, so the per-window masks exclude them)."""
     perm = (pk >> 10) & 0x7F
-    XP = jnp.take_along_axis(
+    XP = _take_i32(
         jnp.broadcast_to(xw, (SUBLANES, LANES)), perm, axis=1
     )
-    VP = jnp.take_along_axis(v, perm, axis=1)
+    VP = _take_i32(v, perm, axis=1)
     return VP * XP
 
 
@@ -394,6 +467,7 @@ def _sbell_kernel(
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "transpose_windows", "interpret"),
 )
+@_no_x64
 def sbell_spmv_tiles(
     vals, packed, meta, step_block, x2d,
     *,
@@ -461,6 +535,7 @@ def _sbell_mm_kernel(
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "transpose_windows", "interpret"),
 )
+@_no_x64
 def sbell_spmm_tiles(
     vals, packed, meta, step_block, x3d,
     *,
@@ -524,6 +599,7 @@ def _bell2_mm_accum_kernel(
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax"),
 )
+@_no_x64
 def bell2_spmm_tiles_accum(
     vals, packed, meta, step_block, x3d, y_tiles,
     *,
@@ -547,20 +623,20 @@ def bell2_spmm_tiles_accum(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, META_W), lambda g, s: (g, 0, 0),
+                (1, K, META_W), _i32map(lambda g, s: (g, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), lambda g, s: (g, 0, 0, 0)
+                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BT, LANES), lambda g, s: (0, s[g], 0)),
+            pl.BlockSpec((B, BT, LANES), _i32map(lambda g, s: (0, s[g], 0))),
         ],
         out_specs=pl.BlockSpec(
-            (B, BT, LANES), lambda g, s: (0, s[g], 0)
+            (B, BT, LANES), _i32map(lambda g, s: (0, s[g], 0))
         ),
     )
     return pl.pallas_call(

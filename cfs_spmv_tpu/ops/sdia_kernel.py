@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .bell2_kernel import _i32map, _no_x64
+
 SUBLANES = 8
 LANES = 128
 BLOCK_ROWS = SUBLANES * LANES  # 1024 rows per grid step
@@ -133,6 +135,7 @@ def _blocks_per_step(R: int, D: int, itemsize: int = 4) -> int:
 @functools.partial(
     jax.jit, static_argnames=("offsets", "interpret")
 )
+@_no_x64
 def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
     """y_tiles += (L + Lᵀ) x for the dense-diagonal symmetric stream.
 
@@ -158,7 +161,7 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
         grid=(R // RB,),
         in_specs=[
             pl.BlockSpec(
-                (RB, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -179,6 +182,7 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
 @functools.partial(
     jax.jit, static_argnames=("offsets", "interpret")
 )
+@_no_x64
 def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     """Y_tiles += (L + Lᵀ) X, X as (B, x_rows, 128)."""
     R, D = vals.shape[0], vals.shape[1]
@@ -201,7 +205,7 @@ def sdia_sym_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
         grid=(R // RB,),
         in_specs=[
             pl.BlockSpec(
-                (RB, D, SUBLANES, LANES), lambda g: (g, 0, 0, 0)
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

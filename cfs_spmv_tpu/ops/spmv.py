@@ -117,10 +117,16 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
 def sym_to_device(plan: SBellPlan) -> SBellDevice:
     empty = plan.nnz_paired == 0  # skip uploading the covering chunks
     return SBellDevice(
-        vals=jnp.zeros((0,)) if empty else jnp.asarray(plan.vals),
-        packed=jnp.zeros((0,)) if empty else jnp.asarray(plan.packed),
-        meta=jnp.zeros((0,)) if empty else jnp.asarray(plan.meta),
-        step_block=jnp.zeros((0,))
+        vals=jnp.zeros((0,), jnp.float32)
+        if empty
+        else jnp.asarray(plan.vals),
+        packed=jnp.zeros((0,), jnp.int32)
+        if empty
+        else jnp.asarray(plan.packed),
+        meta=jnp.zeros((0,), jnp.int32)
+        if empty
+        else jnp.asarray(plan.meta),
+        step_block=jnp.zeros((0,), jnp.int32)
         if empty
         else jnp.asarray(plan.step_block),
         diag=jnp.asarray(plan.diag),
