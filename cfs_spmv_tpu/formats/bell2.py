@@ -304,7 +304,11 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Returns pack_chunks-shaped outputs in
     ORIGINAL entry order."""
-    order = np.lexsort((q, seg, tile))
+    # single combined-key radix argsort: ~3x faster than the 3-pass
+    # lexsort on this planner's hottest path (keys fit int64 for any
+    # n*m/128 < 2^63 matrix)
+    S = int(seg.max()) + 1 if len(seg) else 1
+    order = np.argsort((tile * S + seg) * 128 + q, kind="stable")
     ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
     packed = _native.pack_slots(ts, lrs, sgs, qs, max_windows)
     if packed is None:
@@ -425,9 +429,18 @@ def build_bell2_plan(
     # unit-based subrows would sit mostly empty — go straight to the
     # conflict-aware slot packer and skip two full sort pipelines
     slot_ok = _native.available() or nnz <= 2_000_000
-    avg_per_ts = nnz / max(
-        len(np.unique(tile * (x_rows + 1) + seg)), 1
-    )
+    ts_key = tile * (x_rows + 1) + seg
+    key_space = T * (x_rows + 1)
+    if key_space <= max(4 * nnz, 1 << 26):
+        # distinct-count via boolean scatter: two O(nnz) passes instead
+        # of a full sort (np.unique) — the predictor was costing more
+        # than the decision it informs on big matrices
+        present = np.zeros(key_space, bool)
+        present[ts_key] = True
+        n_ts = int(np.count_nonzero(present))
+    else:
+        n_ts = len(np.unique(ts_key))
+    avg_per_ts = nnz / max(n_ts, 1)
     # full 8 windows: caps of 4/6 saved loads but cost 14% more
     # chunks at scale (fill dominates); keep the knob, default 8
     slot_windows = SUBLANES
@@ -492,14 +505,15 @@ def build_bell2_plan(
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
     ec = remap[e_chunk]
     vals_arr[ec, e_sub, lane] = val.astype(dtype)
-    q_field = np.zeros((C, SUBLANES, LANES), np.int32)
-    q_field[ec, e_sub, lane] = q
-    r2_field = np.zeros((C, SUBLANES, LANES), np.int32)
-    r2_field[ec, e_sub, q] = e_r2
     # one-sided streams need only q (7 bits) + r2 (3 bits): int16 halves
     # the index traffic (the paired symmetric layout needs 18 bits and
-    # stays int32)
-    packed = (q_field | (r2_field << 7)).astype(np.int16)
+    # stays int32). Both scatters hit unique slots (each entry owns its
+    # lane; gather lanes are conflict-free within a subrow), so building
+    # the merged field in place is exact and skips two O(C*1024) int32
+    # temporaries — the dominant preprocessing pass on scattered plans.
+    packed = np.zeros((C, SUBLANES, LANES), np.int16)
+    packed[ec, e_sub, lane] = q.astype(np.int16)
+    packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
 
     plan = Bell2Plan(
         n, m, nnz, vals_arr, packed, meta, step_block,

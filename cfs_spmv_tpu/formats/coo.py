@@ -41,7 +41,16 @@ class COO:
 
     def canonicalize(self) -> "COO":
         """Sort by (row, col) and sum duplicate coordinates."""
-        order = np.lexsort((self.col, self.row))
+        # combined-key stable argsort == lexsort((col, row)) but one
+        # radix pass instead of two mergesorts (row*ncols+col is unique
+        # per coordinate, fits int64 for any nrows*ncols < 2^63)
+        if self.nrows > (2**62) // max(self.ncols, 1):
+            order = np.lexsort((self.col, self.row))  # key would overflow
+        else:
+            m = np.int64(max(self.ncols, 1))
+            order = np.argsort(
+                self.row.astype(np.int64) * m + self.col, kind="stable"
+            )
         r, c, v = self.row[order], self.col[order], self.val[order]
         if len(r):
             keep = np.empty(len(r), bool)

@@ -31,13 +31,23 @@ def _sym_pattern(csr):
     off = row != col
     r = np.concatenate([row[off], col[off]])
     c = np.concatenate([col[off], row[off]])
-    order = np.lexsort((c, r))
-    r, c = r[order], c[order]
-    if len(r):
-        keep = np.empty(len(r), bool)
-        keep[0] = True
-        keep[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
-        r, c = r[keep], c[keep]
+    if csr.symmetric:
+        # lower-triangle storage: every (i>j) pair appears once, so the
+        # mirrored edge list has no duplicates; BFS does not care about
+        # within-row order → a single stable argsort on the row suffices
+        order = np.argsort(r, kind="stable")
+        r, c = r[order], c[order]
+    else:
+        # general storage may contain both (i,j) and (j,i): sort by the
+        # full coordinate (one combined-key radix pass) and dedup
+        m = np.int64(max(csr.ncols, 1))
+        order = np.argsort(r * m + c, kind="stable")
+        r, c = r[order], c[order]
+        if len(r):
+            keep = np.empty(len(r), bool)
+            keep[0] = True
+            keep[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            r, c = r[keep], c[keep]
     indptr = np.zeros(csr.nrows + 1, np.int64)
     np.cumsum(np.bincount(r, minlength=csr.nrows), out=indptr[1:])
     return indptr, c
