@@ -46,9 +46,10 @@ class MMFHeader:
     symmetric: bool
     field: str  # real | integer | pattern
     zero_based: bool
+    col_wise: bool = False
 
 
-def _parse_header(first: str) -> tuple[bool, str]:
+def _parse_header(first: str) -> tuple[bool, str, bool, bool]:
     toks = first.strip().split()
     if len(toks) < 5 or toks[0] not in ("%%MatrixMarket", "%MatrixMarket"):
         raise ValueError(f"not a MatrixMarket file: header {first!r}")
@@ -59,7 +60,24 @@ def _parse_header(first: str) -> tuple[bool, str]:
         raise ValueError(f"unsupported field type {field!r}")
     if sym not in ("general", "symmetric"):
         raise ValueError(f"unsupported symmetry {sym!r}")
-    return sym == "symmetric", field
+    # variant tokens after the symmetry word (ref mmf.hpp:239-250):
+    # base-0/base-1 select the index base; column/row declare the file's
+    # entry order (the reference loads-and-sorts column-wise files; we
+    # always sort, so the token only needs recognizing). "0-base" is kept
+    # as a legacy alias of base-0.
+    zero_based = False
+    col_wise = False
+    for t in toks[5:]:
+        tl = t.lower()
+        if tl in ("base-0", "0-base"):
+            zero_based = True
+        elif tl == "base-1":
+            zero_based = False
+        elif tl == "column":
+            col_wise = True
+        elif tl == "row":
+            col_wise = False
+    return sym == "symmetric", field, zero_based, col_wise
 
 
 def read_mmf(
@@ -95,8 +113,7 @@ def read_mmf(
 
     # header line
     nl = text.find("\n")
-    symmetric, field = _parse_header(text[:nl])
-    zero_based = "0-base" in text[:nl]
+    symmetric, field, zero_based, col_wise = _parse_header(text[:nl])
 
     # skip comment lines, find size line
     pos = nl + 1
@@ -120,10 +137,14 @@ def read_mmf(
         row, col, fval = parsed
     else:
         body = text[size_end + 1 :]
-        if "%" in body:  # per-entry comment lines are legal MMF
-            body = "\n".join(
-                ln for ln in body.splitlines() if not ln.lstrip().startswith("%")
-            )
+        if "%" in body:
+            # comments run from '%' to end of line — both whole-line and
+            # trailing inline forms are legal MMF; stripping to EOL keeps
+            # this fallback bit-identical to the native scanner, which
+            # skips '%' wherever it lands between tokens
+            import re
+
+            body = re.sub(r"%[^\n]*", "", body)
         tokens = body.split()
         if len(tokens) % width != 0:
             # trailing garbage or files with per-line comments; fall back
@@ -170,7 +191,9 @@ def read_mmf(
     col = col[order].astype(index_dtype)
     val = val[order]
 
-    hdr = MMFHeader(nrows, ncols, nnz_decl, symmetric, field, zero_based)
+    hdr = MMFHeader(
+        nrows, ncols, nnz_decl, symmetric, field, zero_based, col_wise
+    )
     info(
         "mmf: %dx%d nnz=%d symmetric=%s field=%s",
         nrows, ncols, len(row), symmetric, field,

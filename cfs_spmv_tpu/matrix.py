@@ -93,7 +93,11 @@ class SparseMatrix:
 
     @property
     def nnz_full(self) -> int:
-        return self._csr.to_coo().nnz_full
+        """Logical nonzeros (both triangles for symmetric storage);
+        cached — the COO materialization behind it is O(nnz)."""
+        if getattr(self, "_nnz_full", None) is None:
+            self._nnz_full = self._csr.to_coo().nnz_full
+        return self._nnz_full
 
     @property
     def symmetric(self) -> bool:

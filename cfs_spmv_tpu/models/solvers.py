@@ -279,6 +279,12 @@ def gmres(
             w = fn(ops, V[j])
             hcol = V @ w  # rows beyond j are zero, so they contribute 0
             w = w - V.T @ hcol
+            # CGS2: one re-orthogonalization pass restores the stability
+            # classical Gram-Schmidt loses in finite precision ("twice is
+            # enough", Giraud et al.) at the cost of one extra GEMV pair
+            hcol2 = V @ w
+            w = w - V.T @ hcol2
+            hcol = hcol + hcol2
             hj1 = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.where(hj1 > eps, hj1, 1.0))
             H = H.at[:, j].set(hcol).at[j + 1, j].set(hj1)

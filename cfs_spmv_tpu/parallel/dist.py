@@ -277,7 +277,7 @@ class DistSpDMV:
         # zero-filled planes cover shards missing a diagonal) -----------
         from ..formats.sdia import SDIA_FILL, SDIA_MAX_D
 
-        union: set[int] = set()
+        union: dict[int, int] = {}  # offset -> total count across shards
         for nr_, nc_, _ in shard_near:
             if not len(nr_):
                 continue
@@ -287,8 +287,14 @@ class DistSpDMV:
             ok = (uniq > 0) & (cnt >= self.dia_min_count) & (
                 cnt >= SDIA_FILL * length
             )
-            union.update(int(o) for o in uniq[ok])
-        self.dia_offsets = tuple(sorted(union)[:SDIA_MAX_D])
+            for o, c in zip(uniq[ok], cnt[ok]):
+                union[int(o)] = union.get(int(o), 0) + int(c)
+        # over-full union: keep the heaviest-count offsets (mirrors
+        # extract_sdia's heaviest-first truncation; keeping the smallest
+        # offsets instead could park the densest diagonals on the far
+        # stream)
+        keep = sorted(union, key=lambda o: (-union[o], o))[:SDIA_MAX_D]
+        self.dia_offsets = tuple(sorted(keep))
 
         paired_plans, far_plans, diags, dia_vals = [], [], [], []
         from ..formats.sdia import BLOCK_ROWS
@@ -733,7 +739,25 @@ class DistSpDMV:
 
         return fn, operands
 
-    pure_apply_mm = pure_apply  # single-RHS only; dim check is in __call__
+    def pure_apply_mm(self):
+        """Multi-RHS pure applier: (fn, operands) with fn(ops, X) for X
+        of shape (ncols, B). The B-specific distributed program is built
+        (and cached) at first trace — ``as_pure(dspmv, X)`` with a 2-D X
+        times/composes real distributed SpMM, not the SpMV program."""
+        operands = (
+            self._far, self._paired, getattr(self, "_pfar", None),
+            getattr(self, "_dia", None), self._diag,
+        )
+
+        def fn(ops, x):
+            B = int(x.shape[1])
+            if not hasattr(self, "_fn_mm"):
+                self._fn_mm = {}
+            if B not in self._fn_mm:
+                self._fn_mm[B] = self._build_mm(B)
+            return self._fn_mm[B](*ops, x)
+
+        return fn, operands
 
     @staticmethod
     def encode(x):

@@ -58,6 +58,12 @@ def detect_chip() -> ChipSpec:
             return spec
     except Exception:
         pass
+    from .logging import warn
+
+    warn(
+        "roofline: could not identify the TPU chip; assuming v5e specs "
+        "(roofline percentages may be wrong on other chips)"
+    )
     return _KNOWN["v5e"]
 
 

@@ -23,36 +23,42 @@ extern "C" {
 // Parses `nnz` coordinate records of `width` whitespace-separated fields
 // (2 = pattern, 3 = real/integer) from buf[0:len). Rows/cols are written
 // 1-based-as-stored (caller rebases), values only when width == 3.
-// Lines starting with '%' are skipped (per-entry comments are legal MMF).
+// A '%' anywhere between tokens comments to end of line — the same
+// "comments are whitespace" contract as the NumPy fallback's strip pass,
+// so both paths accept/reject the same bodies bit-identically.
 // Returns the number of records parsed, or -(byte offset + 1) of the first
 // malformed token.
+static inline const char *cfs_skip_ws(const char *p, const char *end) {
+  for (;;) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+      ++p;
+    if (p < end && *p == '%') {
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    return p;
+  }
+}
+
 int64_t cfs_parse_mmf_body(const char *buf, int64_t len, int64_t nnz,
                            int32_t width, int64_t *row, int64_t *col,
                            double *val) {
   const char *p = buf;
   const char *end = buf + len;
   for (int64_t k = 0; k < nnz; ++k) {
-    // skip whitespace and comment lines
-    for (;;) {
-      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
-        ++p;
-      if (p < end && *p == '%') {
-        while (p < end && *p != '\n') ++p;
-        continue;
-      }
-      break;
-    }
+    p = cfs_skip_ws(p, end);
     if (p >= end) return -(int64_t)(p - buf) - 1;
     char *q;
     long long r = strtoll(p, &q, 10);
     if (q == p) return -(int64_t)(p - buf) - 1;
-    p = q;
+    p = cfs_skip_ws(q, end);
     long long c = strtoll(p, &q, 10);
     if (q == p) return -(int64_t)(p - buf) - 1;
     p = q;
     row[k] = (int64_t)r;
     col[k] = (int64_t)c;
     if (width == 3) {
+      p = cfs_skip_ws(p, end);
       double v = strtod(p, &q);
       if (q == p) return -(int64_t)(p - buf) - 1;
       p = q;

@@ -234,6 +234,26 @@ def test_dist_spmm(mesh8, comm):
         )
 
 
+def test_dist_pure_apply_mm(mesh8):
+    """as_pure with a 2-D X must select the real multi-RHS distributed
+    program (regression: pure_apply_mm used to alias pure_apply)."""
+    from cfs_spmv_tpu.utils.timing import as_pure
+
+    coo = COO.random(800, 800, 4.0, symmetric=True, bandwidth=100,
+                     seed=21, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    X = np.random.default_rng(22).uniform(1, 2, (800, 2))
+    fn, ops, encode, decode = as_pure(dsp, X)
+    Y = np.asarray(decode(fn(ops, encode(X))))
+    assert Y.shape == (800, 2)
+    for b in range(2):
+        assert allclose_spmv(
+            Y[:, b], csr.spmv_host(X[:, b]), dtype=np.float64,
+            nnz_per_row=8, scale=csr.spmv_host(X[:, b], absolute=True),
+        )
+
+
 def test_dist_spmm_general(mesh8):
     coo = COO.random(900, 900, 4.0, bandwidth=200, seed=19,
                      dtype=np.float64)

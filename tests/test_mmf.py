@@ -100,12 +100,14 @@ def test_truncated_body_rejected():
         read_mmf(_file(txt))
 
 
-def test_zero_based_variant():
-    """0-based coordinate variant (ref mmf.hpp:239-250)."""
+@pytest.mark.parametrize("token", ["base-0", "0-base"])
+def test_zero_based_variant(token):
+    """0-based coordinate variant, reference spelling ``base-0``
+    (ref mmf.hpp:239-250); ``0-base`` kept as a legacy alias."""
     import io
 
     text = (
-        "%%MatrixMarket matrix coordinate real general 0-base\n"
+        f"%%MatrixMarket matrix coordinate real general {token}\n"
         "3 3 3\n0 0 1.5\n1 2 2.5\n2 0 3.5\n"
     )
     hdr, r, c, v = read_mmf(io.StringIO(text))
@@ -113,6 +115,31 @@ def test_zero_based_variant():
     np.testing.assert_array_equal(r, [0, 1, 2])
     np.testing.assert_array_equal(c, [0, 2, 0])
     np.testing.assert_allclose(v, [1.5, 2.5, 3.5])
+
+
+def test_base1_and_order_tokens():
+    """All four reference variant tokens parse (ref mmf.hpp:239-250):
+    base-1 keeps 1-based indexing; column/row only declare entry order
+    (we sort unconditionally, mirroring the reference's load-and-sort)."""
+    import io
+
+    text = (
+        "%%MatrixMarket matrix coordinate real general base-1 column\n"
+        "3 3 3\n1 1 1.5\n3 1 3.5\n2 3 2.5\n"
+    )
+    hdr, r, c, v = read_mmf(io.StringIO(text))
+    assert not hdr.zero_based
+    assert hdr.col_wise
+    np.testing.assert_array_equal(r, [0, 1, 2])
+    np.testing.assert_array_equal(c, [0, 2, 0])
+
+    text_row = (
+        "%%MatrixMarket matrix coordinate real general base-0 row\n"
+        "2 2 2\n0 0 1.0\n1 1 2.0\n"
+    )
+    hdr2, r2, c2, _ = read_mmf(io.StringIO(text_row))
+    assert hdr2.zero_based and not hdr2.col_wise
+    np.testing.assert_array_equal(r2, [0, 1])
 
 
 def test_column_major_file_sorted():
@@ -128,6 +155,35 @@ def test_column_major_file_sorted():
     np.testing.assert_array_equal(r, [0, 1, 2, 2])
     np.testing.assert_array_equal(c, [0, 1, 0, 1])
     np.testing.assert_allclose(v, [10.0, 22.0, 30.0, 32.0])
+
+
+def test_inline_comment_paths_agree(monkeypatch):
+    """Native scanner and NumPy fallback accept the same comment forms
+    ('%' to EOL is whitespace anywhere between tokens) and produce
+    identical arrays — the bit-identical contract for nonstandard but
+    tolerated bodies."""
+    import io
+
+    from cfs_spmv_tpu import native as _nat
+    from cfs_spmv_tpu.io import mmf as mmf_mod
+
+    text = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 3\n"
+        "1 1 1.5  % trailing inline comment\n"
+        "% whole-line comment between records\n"
+        "2 3 2.5\n"
+        "3 1 3.5   \n"
+    )
+    res_native = read_mmf(io.StringIO(text))
+    monkeypatch.setattr(
+        mmf_mod._native, "parse_mmf_body", lambda *a, **k: None
+    )
+    res_py = read_mmf(io.StringIO(text))
+    for a, b in zip(res_native[1:], res_py[1:]):
+        np.testing.assert_array_equal(a, b)
+    if _nat.available():  # both really were exercised
+        assert res_native[3].dtype == res_py[3].dtype
 
 
 def test_integer_field():
