@@ -6,10 +6,14 @@ per-iteration time, Gnnz/s and parallel efficiency. On a CPU backend
 the timings exercise the code path but are not TPU-representative.
 
 Usage: python -m cfs_spmv_tpu.cli.bench_dist <file.mtx> <iters>
-       [--devices N] [--weak]
+       [--devices N] [--weak] [--model]
 
 ``--weak`` replicates the matrix block-diagonally per device (weak
 scaling: constant work per device) instead of splitting it (strong).
+``--model`` additionally prints the far-fraction-vs-devices profile and
+the overlap-model efficiency built from the measured single-device rate
+(``parallel/scaling.py``) — the honest statement of BASELINE config 5 on
+a one-chip host.
 """
 
 from __future__ import annotations
@@ -85,9 +89,33 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"devices: {ndev} preproc(sec): {preproc:.4g} "
             f"t(sec): {t_iter:.4g} nnz/s: {nnz / t_iter:.4g} "
+            f"far: {100 * dsp.far_fraction:.2f}% "
             f"efficiency: {100 * eff:.0f}%"
         )
         ndev *= 2
+
+    if "--model" in rest:
+        from ..utils.roofline import detect_chip
+        from ..parallel.scaling import far_profile, weak_scaling_model
+
+        chip = detect_chip().name
+        nnz_s = rows[0][3]  # measured single-device rate
+        print(f"# scaling model (chip={chip}, measured {nnz_s:.3g} nnz/s)")
+        for nd in (2, 4, 8, 16, 32):
+            p = far_profile(A.csr, nd)
+            print(
+                f"model devices: {nd} far_fraction: "
+                f"{100 * p.far_fraction:.2f}% halo_cols_max: "
+                f"{p.halo_cols_max}"
+            )
+        for m in weak_scaling_model(
+            A.csr, measured_nnz_s=nnz_s, chip=chip
+        ):
+            print(
+                f"model weak devices: {m['ndev']} t_compute: "
+                f"{m['t_compute_s']:.3g}s t_comm: {m['t_comm_s']:.3g}s "
+                f"efficiency: {100 * m['efficiency']:.0f}%"
+            )
     return 0
 
 

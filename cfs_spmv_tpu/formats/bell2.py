@@ -87,6 +87,10 @@ class Bell2Plan:
     #: many window rows (slot-packed plans rarely need more than 4;
     #: fewer stacks = fewer VMEM loads per chunk)
     max_windows: int = SUBLANES
+    #: superchunk plans: all chunks of a run share one window table, so
+    #: the kernel builds the x-window stack once per run (from the run's
+    #: first chunk) instead of once per chunk
+    windows_shared: bool = False
 
     @property
     def num_chunks(self) -> int:
@@ -299,21 +303,36 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
 
 
 def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
-                        max_windows=SUBLANES):
+                        max_windows=SUBLANES, group=1):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Returns pack_chunks-shaped outputs in
-    ORIGINAL entry order."""
+    ORIGINAL entry order.
+
+    ``group > 1`` packs superchunks — ``group`` consecutive same-tile
+    chunks sharing one window table, so the kernel loads the x-window
+    stack once per ``group``-chunk run (the per-chunk stack is the
+    dominant cost of the one-sided kernel on scattered structure)."""
     # single combined-key radix argsort: ~3x faster than the 3-pass
     # lexsort on this planner's hottest path (keys fit int64 for any
     # n*m/128 < 2^63 matrix)
     S = int(seg.max()) + 1 if len(seg) else 1
     order = np.argsort((tile * S + seg) * 128 + q, kind="stable")
     ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
-    packed = _native.pack_slots(ts, lrs, sgs, qs, max_windows)
+    packed = _native.pack_slots(ts, lrs, sgs, qs, max_windows, group=group)
     if packed is None:
-        packed = _native.pack_slots_py(ts, lrs, sgs, qs, max_windows)
+        packed = _native.pack_slots_py(
+            ts, lrs, sgs, qs, max_windows, group=group
+        )
     e_chunk_s, e_sub_s, e_r2_s, chunk_tiles, windows, nwin = packed
+    if group > 1:
+        # expand superchunk outputs to chunk granularity (windows
+        # replicated so every chunk's meta row is self-describing)
+        e_chunk_s = e_chunk_s * group + (e_sub_s >> 3)
+        e_sub_s = e_sub_s & 7
+        chunk_tiles = np.repeat(chunk_tiles, group)
+        windows = np.repeat(windows, group, axis=0)
+        nwin = np.repeat(nwin, group)
     e_chunk = np.empty(len(order), np.int64)
     e_sub = np.empty(len(order), np.int64)
     e_r2 = np.empty(len(order), np.int64)
@@ -342,6 +361,37 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
         windows = windows[corder]
         nwin = nwin[corder]
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
+
+
+#: one-sided kernel cost model (v5e cycles): per-chunk datapath vs
+#: per-window-stack build — used only to RANK slot-packing candidates,
+#: identical across native/Python packers so plans stay reproducible
+_RUN_ALPHA = 5.0
+_RUN_STACK = 8.0
+
+
+def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
+                         allow_runs, max_windows=SUBLANES):
+    """Pack with group 1/4/8 superchunks and keep the cheapest by the
+    kernel cost model: shared-window groups amortize the x-window stack
+    over ``group`` chunks but can cost fill (32-64 subrows share 8
+    window slots). Returns (packed, group, run_len)."""
+    groups = [1]
+    if allow_runs:
+        groups += [g for g in (4, 8) if K % g == 0]
+    best = None
+    for g in groups:
+        pk = _pack_slots_entries(
+            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+            max_windows=max_windows, group=g,
+        )
+        C = len(pk[3])
+        est = C * (_RUN_ALPHA + _RUN_STACK / g)
+        if best is None or est < best[0]:
+            best = (est, g, pk)
+    _, g, pk = best
+    run_len = g if g > 1 else (4 if allow_runs and K % 4 == 0 else 1)
+    return pk, g, run_len
 
 
 def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
@@ -444,23 +494,28 @@ def build_bell2_plan(
     # full 8 windows: caps of 4/6 saved loads but cost 14% more
     # chunks at scale (fill dominates); keep the knob, default 8
     slot_windows = SUBLANES
-    packed_alt = None
+    packed_alt = group = None
     if slot_ok and avg_per_ts < 24:
-        packed_alt = _pack_slots_entries(
-            tile, lane, seg, q, T, ensure_tiles=cover_all_tiles,
-            max_windows=slot_windows,
+        packed_alt, group, run_pick = _choose_slot_packing(
+            tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
+            allow_runs=allow_runs, max_windows=slot_windows,
         )
     run_len = 1
     wmax = SUBLANES
+    shared_windows = False
     if packed_alt is not None:
-        info("bell2: slot packing (%.1f nnz per tile-seg)", avg_per_ts)
+        info(
+            "bell2: slot packing (%.1f nnz per tile-seg, group=%d)",
+            avg_per_ts, group,
+        )
         e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
+        shared_windows = group > 1
         if allow_runs:
             wmax = slot_windows  # static; pinned to 8 for SPMD plans
-        if allow_runs and K % 4 == 0:
-            # slot-packed (scattered) plans carry many chunks per tile;
-            # batching 4 same-tile chunks per flush pays its padding
-            run_len = 4
+        if run_pick > 1:
+            # runs batch same-tile chunks: one flush per run, and for
+            # superchunk (shared-window) plans one x-window stack per run
+            run_len = run_pick
             (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
                 e_chunk, chunk_tiles, windows, nwin, run_len
             )
@@ -475,20 +530,21 @@ def build_bell2_plan(
         if pad0 > 1.7 and slot_ok:
             # mispredicted: retry with the slot packer and keep the
             # smaller plan
-            alt = _pack_slots_entries(
-                tile, lane, seg, q, T, ensure_tiles=cover_all_tiles,
-                max_windows=slot_windows,
+            alt, group, run_pick = _choose_slot_packing(
+                tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
+                allow_runs=allow_runs, max_windows=slot_windows,
             )
             if alt is not None and len(alt[3]) < len(chunk_tiles):
                 info(
-                    "bell2: slot packing %d -> %d chunks",
-                    len(chunk_tiles), len(alt[3]),
+                    "bell2: slot packing %d -> %d chunks (group=%d)",
+                    len(chunk_tiles), len(alt[3]), group,
                 )
                 e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
+                shared_windows = group > 1
                 if allow_runs:
                     wmax = slot_windows
-                if allow_runs and K % 4 == 0:
-                    run_len = 4
+                if run_pick > 1:
+                    run_len = run_pick
                     (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
                         e_chunk, chunk_tiles, windows, nwin, run_len
                     )
@@ -517,7 +573,7 @@ def build_bell2_plan(
 
     plan = Bell2Plan(
         n, m, nnz, vals_arr, packed, meta, step_block,
-        T, x_rows, K, BT, run_len, wmax,
+        T, x_rows, K, BT, run_len, wmax, shared_windows,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",

@@ -111,6 +111,7 @@ def _load():
         lib.cfs_pack_slots.argtypes = [
             i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
             i64p, i64p, i64p, i64p, i32p, i32p,
         ]
         _lib = lib
@@ -178,12 +179,15 @@ def pack_units(uw_start, uw_end, uw_seg, unit_tile, sublanes, max_windows):
     )
 
 
-def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32):
+def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
     """Conflict-aware entry-level packing (csrc cfs_pack_slots).
 
     Entries must be sorted by (tile, seg, lane_c). Returns per-entry
     (chunk, subrow, r2) and per-chunk (tile, windows, nwin) arrays, or
     None when native is unavailable (caller uses the Python fallback).
+    ``group > 1`` packs superchunks of ``group*8`` subrows sharing one
+    window table (subrow spans [0, group*8); chunk arrays are per
+    superchunk — the caller expands to chunk granularity).
     """
     lib = _load()
     if lib is None:
@@ -201,7 +205,7 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32):
         np.ascontiguousarray(lane_r, np.int64),
         np.ascontiguousarray(seg, np.int64),
         np.ascontiguousarray(lane_c, np.int64),
-        n, max_windows, ring,
+        n, max_windows, ring, group,
         e_chunk, e_sub, e_r2, chunk_tile, windows, nwin,
     )
     if C0 < 0:
@@ -212,9 +216,10 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32):
     )
 
 
-def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32):
+def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
     """Pure-Python mirror of cfs_pack_slots (CI fallback; slow)."""
     n = len(tile)
+    nsub = 8 * group
     e_chunk = np.zeros(n, np.int64)
     e_sub = np.zeros(n, np.int64)
     e_r2 = np.zeros(n, np.int64)
@@ -234,7 +239,7 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32):
             w = wl.index(sg) if sg in wl else -1
             if w < 0 and len(wl) >= max_windows:
                 continue
-            for s in range(8):
+            for s in range(nsub):
                 if lr in used_r[s]:
                     continue
                 have = cseg[s].get(lc)
@@ -254,8 +259,8 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32):
             cid = len(chunk_tile)
             chunk_tile.append(t)
             wl = [sg]
-            used_r = [set() for _ in range(8)]
-            cseg = [dict() for _ in range(8)]
+            used_r = [set() for _ in range(nsub)]
+            cseg = [dict() for _ in range(nsub)]
             used_r[0].add(lr)
             cseg[0][lc] = sg
             state[cid] = (used_r, cseg, wl)

@@ -156,9 +156,13 @@ def _stack_windows_slim_b(x_ref, meta_ref, k, b, nwin):
 def _gather_x(W, pk):
     """Two-step gather: x value for every slot of the chunk."""
     if pk.dtype != jnp.int32:  # one-sided streams store int16
+        # int16 packed is q | r2<<7 with bits 10-15 zero, so the shift
+        # alone yields r2 — drops one mask op from the hot loop
         pk = pk.astype(jnp.int32)
+        r2 = pk >> 7
+    else:  # paired symmetric packs perm/valid above bit 9
+        r2 = (pk >> 7) & 0x7
     q = pk & 0x7F
-    r2 = (pk >> 7) & 0x7
     G = _take_i32(W, r2, axis=0)
     return _take_i32(G, q, axis=1)
 
@@ -174,14 +178,17 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
-                  run=1, wmax=SUBLANES):
+                  run=1, wmax=SUBLANES, shared=False):
     _zero_on_new_block(sb_ref, y_ref)
     for k0 in range(0, K, run):
         # a run's chunks share one row tile: accumulate in register and
-        # flush one sum + read-modify-write per run
+        # flush one sum + read-modify-write per run. Superchunk plans
+        # (shared=True) also share the window table, so the x-window
+        # stack is built once per run.
+        W0 = _stack_windows(x_ref, meta_ref, k0, wmax) if shared else None
         acc = None
         for k in range(k0, k0 + run):
-            W = _stack_windows(x_ref, meta_ref, k, wmax)
+            W = W0 if shared else _stack_windows(x_ref, meta_ref, k, wmax)
             g = _gather_x(W, pk_ref[0, k])
             vg = vals_ref[0, k] * g
             acc = vg if acc is None else acc + vg
@@ -236,7 +243,7 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax"),
+                     "interpret", "run", "wmax", "shared"),
 )
 @_no_x64
 def bell2_spmv_tiles(
@@ -248,6 +255,7 @@ def bell2_spmv_tiles(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
+    shared: bool = False,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream."""
     C = vals.shape[0]
@@ -256,7 +264,7 @@ def bell2_spmv_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax),
+        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax, shared=shared),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -278,7 +286,7 @@ def bell2_spmv_tiles(
 
 def _bell2_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
-    wmax=SUBLANES,
+    wmax=SUBLANES, shared=False,
 ):
     g = pl.program_id(0)
 
@@ -289,9 +297,10 @@ def _bell2_accum_kernel(
         y_ref[...] = yin_ref[...]
 
     for k0 in range(0, K, run):
+        W0 = _stack_windows(x_ref, meta_ref, k0, wmax) if shared else None
         acc = None
         for k in range(k0, k0 + run):
-            W = _stack_windows(x_ref, meta_ref, k, wmax)
+            W = W0 if shared else _stack_windows(x_ref, meta_ref, k, wmax)
             g = _gather_x(W, pk_ref[0, k])
             vg = vals_ref[0, k] * g
             acc = vg if acc is None else acc + vg
@@ -302,7 +311,7 @@ def _bell2_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax"),
+                     "interpret", "run", "wmax", "shared"),
 )
 @_no_x64
 def bell2_spmv_tiles_accum(
@@ -314,6 +323,7 @@ def bell2_spmv_tiles_accum(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
+    shared: bool = False,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -347,7 +357,8 @@ def bell2_spmv_tiles_accum(
         out_specs=pl.BlockSpec((BT, LANES), _i32map(lambda g, s: (s[g], 0))),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax),
+        functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax,
+                          shared=shared),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -364,15 +375,22 @@ def bell2_spmv_tiles_accum(
 
 def _bell2_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
-    wmax=SUBLANES,
+    wmax=SUBLANES, shared=False,
 ):
     _zero_on_new_block(sb_ref, y_ref)
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
+            W0 = (
+                _stack_windows_b(x_ref, meta_ref, k0, b, wmax)
+                if shared else None
+            )
             acc = None
             for k in range(k0, k0 + run):
-                W = _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+                W = (
+                    W0 if shared
+                    else _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+                )
                 g = _gather_x(W, pk_ref[0, k])
                 vg = vals_ref[0, k] * g
                 acc = vg if acc is None else acc + vg
@@ -383,7 +401,7 @@ def _bell2_mm_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax"),
+                     "interpret", "run", "wmax", "shared"),
 )
 @_no_x64
 def bell2_spmm_tiles(
@@ -395,6 +413,7 @@ def bell2_spmm_tiles(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
+    shared: bool = False,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     C = vals.shape[0]
@@ -404,7 +423,8 @@ def bell2_spmm_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax),
+        functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
+                          shared=shared),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -571,7 +591,7 @@ def sbell_spmm_tiles(
 
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
-    run=1, wmax=SUBLANES,
+    run=1, wmax=SUBLANES, shared=False,
 ):
     g = pl.program_id(0)
 
@@ -584,9 +604,16 @@ def _bell2_mm_accum_kernel(
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
+            W0 = (
+                _stack_windows_b(x_ref, meta_ref, k0, b, wmax)
+                if shared else None
+            )
             acc = None
             for k in range(k0, k0 + run):
-                W = _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+                W = (
+                    W0 if shared
+                    else _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+                )
                 g = _gather_x(W, pk_ref[0, k])
                 vg = vals_ref[0, k] * g
                 acc = vg if acc is None else acc + vg
@@ -597,7 +624,7 @@ def _bell2_mm_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax"),
+                     "interpret", "run", "wmax", "shared"),
 )
 @_no_x64
 def bell2_spmm_tiles_accum(
@@ -609,6 +636,7 @@ def bell2_spmm_tiles_accum(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
+    shared: bool = False,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
     C = vals.shape[0]
@@ -640,7 +668,8 @@ def bell2_spmm_tiles_accum(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run, wmax=wmax),
+        functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run,
+                          wmax=wmax, shared=shared),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -67,6 +67,9 @@ class Bell2Device:
     max_windows: int = dataclasses.field(
         default=8, metadata=dict(static=True)
     )
+    windows_shared: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -111,6 +114,7 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         tiles_per_block=plan.tiles_per_block,
         run_len=plan.run_len,
         max_windows=plan.max_windows,
+        windows_shared=plan.windows_shared,
     )
 
 
@@ -160,6 +164,7 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         interpret=use_interpret(),
         run=dev.run_len,
         wmax=dev.max_windows,
+        shared=dev.windows_shared,
     )
     return tiles.reshape(-1)[: dev.nrows]
 
@@ -176,6 +181,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         interpret=use_interpret(),
         run=dev.run_len,
         wmax=dev.max_windows,
+        shared=dev.windows_shared,
     )
     return tiles.reshape(B, -1)[:, : dev.nrows].T
 
@@ -218,6 +224,7 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             interpret=use_interpret(),
             run=dev.far.run_len,
             wmax=dev.far.max_windows,
+            shared=dev.far.windows_shared,
         )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles(
@@ -262,6 +269,7 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             interpret=use_interpret(),
             run=dev.far.run_len,
             wmax=dev.far.max_windows,
+            shared=dev.far.windows_shared,
         )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
         tiles = sdia_sym_tiles_mm(

@@ -110,7 +110,7 @@ class DistSpDMV:
     """
 
     def __init__(self, A, mesh, *, dtype=np.float32, dia_min_count=None,
-                 comm: str = "gather"):
+                 comm: str = "gather", assign: str = "contiguous"):
         from ..formats.sdia import SDIA_MIN_COUNT
         from ..matrix import SparseMatrix
 
@@ -120,6 +120,17 @@ class DistSpDMV:
         )
         if comm not in ("gather", "ring"):
             raise ValueError(f"comm must be 'gather' or 'ring', got {comm}")
+        if assign not in ("contiguous", "cluster"):
+            raise ValueError(
+                f"assign must be 'contiguous' or 'cluster', got {assign}"
+            )
+        if csr.ncols != csr.nrows:
+            # x is distributed by the ROW partition; a rectangular x has
+            # no owner for columns beyond nrows
+            raise NotImplementedError(
+                "DistSpDMV requires a square matrix (row-partitioned x); "
+                f"got {csr.nrows}x{csr.ncols}"
+            )
         #: halo strategy for the far stream: "gather" = one all_gather of
         #: x; "ring" = ndev ppermute rotations of the local x segment,
         #: each overlapped with the partial SpMV against that segment's
@@ -132,6 +143,21 @@ class DistSpDMV:
         self.ncols = csr.ncols
         self.symmetric = csr.symmetric
         self.dtype = np.dtype(dtype)
+
+        #: locality-aware assignment (METIS analog, tuning/cluster.py):
+        #: greedy tile clustering permutes rows so that the contiguous
+        #: equal-nnz shards cut fewer edges — shrinking the far stream,
+        #: the only stream that communicates
+        self.perm = None
+        self._iperm = None
+        if assign == "cluster" and csr.nnz:
+            from ..tuning.cluster import choose_cluster_assignment
+
+            res = choose_cluster_assignment(csr, self.ndev)
+            if res is not None:
+                self.perm, csr = res
+                self._iperm = np.empty_like(self.perm)
+                self._iperm[self.perm] = np.arange(len(self.perm))
 
         T = max(1, -(-csr.nrows // LANES))
         # output-block size adapts down for tiny (test) matrices
@@ -158,17 +184,31 @@ class DistSpDMV:
         just received."""
         self.K_ring = min(self.K, 32)
         per_k = [[None] * self.ndev for _ in range(self.ndev)]
+        starts = np.array([self.real[e][0] for e in range(self.ndev)],
+                          dtype=np.int64)
+        ends = starts + np.array(
+            [self.real[e][1] for e in range(self.ndev)], dtype=np.int64
+        )
         for d in range(self.ndev):
             lr, gc, v = entries[d]
+            # one-pass bucketing by column-owner device (was: ndev full
+            # boolean-mask passes per shard — quadratic in device count):
+            # stable sort by owner keeps the original entry order within
+            # each bucket, so the per-step plans are bit-identical
+            owner = np.searchsorted(ends, gc, side="right")
+            order = np.argsort(owner, kind="stable")
+            so = owner[order]
+            cuts = np.searchsorted(so, np.arange(self.ndev + 1))
+            lro, gco, vo = lr[order], gc[order], v[order]
             for k in range(self.ndev):
                 e = (d + k) % self.ndev
-                c0, nc = self.real[e]
-                m = (gc >= c0) & (gc < c0 + nc)
+                lo, hi = cuts[e], cuts[e + 1]
+                c0 = starts[e]
                 fcoo = COO(
                     self.shard_rows, self.shard_rows,
-                    lr[m].astype(np.int32),
-                    (gc[m] - c0).astype(np.int32),
-                    v[m].astype(self.dtype),
+                    lro[lo:hi].astype(np.int32),
+                    (gco[lo:hi] - c0).astype(np.int32),
+                    vo[lo:hi].astype(self.dtype),
                 )
                 per_k[k][d] = build_bell2_plan(
                     CSR.from_coo(fcoo), dtype=self.dtype,
@@ -194,6 +234,21 @@ class DistSpDMV:
              - min(int(bounds[d]) * LANES, csr.nrows))
             for d in range(self.ndev)
         ]
+        rl_all = np.diff(csr.indptr)
+        row_all = np.repeat(np.arange(csr.nrows, dtype=np.int64), rl_all)
+        own = np.searchsorted(
+            np.array([self.real[d][0] + self.real[d][1]
+                      for d in range(self.ndev)], dtype=np.int64),
+            row_all, side="right",
+        )
+        colo = np.searchsorted(
+            np.array([self.real[d][0] + self.real[d][1]
+                      for d in range(self.ndev)], dtype=np.int64),
+            csr.indices.astype(np.int64), side="right",
+        )
+        #: nonzeros whose x column lives on another device — the only
+        #: traffic that rides the interconnect (halo volume diagnostic)
+        self.far_nnz = int(np.count_nonzero(own != colo))
         if self.comm == "ring":
             entries = []
             for d in range(self.ndev):
@@ -295,6 +350,15 @@ class DistSpDMV:
         # stream)
         keep = sorted(union, key=lambda o: (-union[o], o))[:SDIA_MAX_D]
         self.dia_offsets = tuple(sorted(keep))
+
+        # halo diagnostic: entries (either image) whose x column lives
+        # on another device
+        ends = np.array([self.real[d][0] + self.real[d][1]
+                         for d in range(self.ndev)], dtype=np.int64)
+        ro, co = np.searchsorted(ends, row, side="right"), np.searchsorted(
+            ends, col, side="right"
+        )
+        self.far_nnz = 2 * int(np.count_nonzero(ro != co))
 
         paired_plans, far_plans, diags, dia_vals = [], [], [], []
         from ..formats.sdia import BLOCK_ROWS
@@ -710,10 +774,10 @@ class DistSpDMV:
             self._fn_mm = {}
         if B not in self._fn_mm:
             self._fn_mm[B] = self._build_mm(B)
-        return self._fn_mm[B](
+        return self.decode(self._fn_mm[B](
             self._far, self._paired, getattr(self, "_pfar", None),
-            getattr(self, "_dia", None), self._diag, X,
-        )
+            getattr(self, "_dia", None), self._diag, self.encode(X),
+        ))
 
     def __call__(self, x):
         x = jnp.asarray(x, self.dtype)
@@ -722,7 +786,7 @@ class DistSpDMV:
         if x.shape != (self.ncols,):
             raise ValueError(f"x must be ({self.ncols},), got {x.shape}")
         fn, ops = self.pure_apply()
-        return fn(ops, x)
+        return self.decode(fn(ops, self.encode(x)))
 
     # --- pure-apply protocol (see utils.timing.as_pure): operands flow
     # as jit arguments so solver/timing loops never embed the sharded
@@ -759,13 +823,23 @@ class DistSpDMV:
 
         return fn, operands
 
-    @staticmethod
-    def encode(x):
-        return x
+    @property
+    def far_fraction(self) -> float:
+        """Fraction of logical nonzeros needing a remote x value — the
+        halo volume that the weak-scaling model is gated on."""
+        return self.far_nnz / max(self.nnz_full, 1)
 
-    @staticmethod
-    def decode(y):
-        return y
+    def encode(self, x):
+        """User space → internal (cluster-permuted) space; identity when
+        assign='contiguous' or clustering was rejected."""
+        if self.perm is None:
+            return x
+        return jnp.take(jnp.asarray(x), jnp.asarray(self.perm), axis=0)
+
+    def decode(self, y):
+        if self.perm is None:
+            return y
+        return jnp.take(y, jnp.asarray(self._iperm), axis=0)
 
 
 def _empty_like_bell2(nrows, ncols, dtype, K, BT):

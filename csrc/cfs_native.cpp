@@ -163,22 +163,33 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
 // idempotent), and (c) the chunk's distinct segments fit max_windows.
 // First-fit over a ring of the most recent `ring` open chunks per tile.
 //
-// Entries must arrive sorted by (tile, seg, lane_c). Outputs as in
-// cfs_pack_units. Returns the chunk count.
+// `group` packs SUPERCHUNKS of group*8 subrows sharing one <=8-window
+// table: the kernel then stacks the x windows once per run of `group`
+// chunks instead of per chunk — the dominant per-chunk cost on scattered
+// streams. e_chunk/e_sub index the SUPERCHUNK (sub in [0, group*8));
+// chunk_tile/windows/nwin are per superchunk; the Python caller expands
+// them to chunk granularity. group == 1 reproduces the original layout
+// bit-for-bit.
+//
+// Entries must arrive sorted by (tile, seg, lane_c). Returns the
+// superchunk count.
 int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
                        const int64_t *seg, const int64_t *lane_c,
                        int64_t n, int64_t max_windows, int64_t ring,
+                       int64_t group,
                        int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
                        int64_t *chunk_tile, int32_t *windows,
                        int32_t *nwin) {
   if (max_windows > 8 || ring < 1 || ring > 256) return -1;
+  if (group < 1 || group > 8) return -1;
+  const int64_t nsub = 8 * group;
   struct Chunk {
     int64_t id;
     int64_t t;
     int64_t nw;
     int64_t wseg[8];
-    uint64_t used_r[8][2];   // per-subrow row-lane occupancy
-    int32_t cseg[8][128];    // per-subrow gather-lane -> seg (-1 free)
+    uint64_t used_r[64][2];   // per-subrow row-lane occupancy
+    int32_t cseg[64][128];    // per-subrow gather-lane -> seg (-1 free)
   };
   Chunk *open = new Chunk[ring];
   int64_t n_open = 0, head = 0;  // ring of open chunks, oldest first
@@ -204,7 +215,7 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
         if (ch.nw >= max_windows) continue;
         w = ch.nw;
       }
-      for (int64_t s = 0; s < 8; ++s) {
+      for (int64_t s = 0; s < nsub; ++s) {
         if (ch.used_r[s][lr >> 6] & (1ull << (lr & 63))) continue;
         const int32_t have = ch.cseg[s][lc];
         if (have >= 0 && have != (int32_t)sg) continue;
@@ -233,8 +244,8 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
       ch.t = cur_tile;
       ch.nw = 1;
       ch.wseg[0] = sg;
-      memset(ch.used_r, 0, sizeof(ch.used_r));
-      memset(ch.cseg, -1, sizeof(ch.cseg));
+      memset(ch.used_r, 0, nsub * sizeof(ch.used_r[0]));
+      memset(ch.cseg, -1, nsub * sizeof(ch.cseg[0]));
       ch.used_r[0][lr >> 6] |= 1ull << (lr & 63);
       ch.cseg[0][lc] = (int32_t)sg;
       chunk_tile[ch.id] = cur_tile;

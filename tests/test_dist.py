@@ -268,6 +268,75 @@ def test_dist_spmm_general(mesh8):
         )
 
 
+def test_cluster_assignment_reduces_far():
+    """Locality-aware assignment (METIS analog): interleaved communities
+    that a contiguous split cuts everywhere must cluster onto devices,
+    dropping the far fraction, with results unchanged."""
+    mesh = make_mesh(2)
+    # two communities whose tiles interleave: tile t belongs to
+    # community t % 2; edges stay within a community
+    Tt, n = 16, 16 * 128
+    rng = np.random.default_rng(30)
+    rows, cols = [], []
+    for t in range(Tt):
+        comm_tiles = np.arange(t % 2, Tt, 2)
+        r = t * 128 + rng.integers(0, 128, 600)
+        ct = comm_tiles[rng.integers(0, len(comm_tiles), 600)]
+        c = ct * 128 + rng.integers(0, 128, 600)
+        rows.append(r)
+        cols.append(c)
+    r = np.concatenate(rows + [np.arange(n)])
+    c = np.concatenate(cols + [np.arange(n)])
+    keep = r >= c
+    r, c = r[keep], c[keep]
+    v = rng.uniform(0.5, 1.5, len(r))
+    csr = CSR.from_coo(
+        COO(n, n, r, c, v, symmetric=True).canonicalize()
+    )
+    x = random_x(n, np.float64)
+    d0 = DistSpDMV(csr, mesh, dtype=np.float64)
+    d1 = DistSpDMV(csr, mesh, dtype=np.float64, assign="cluster")
+    assert d1.perm is not None
+    assert d1.far_fraction < 0.5 * d0.far_fraction
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    npr = csr.to_coo().nnz_full / n
+    assert allclose_spmv(np.asarray(d0(x)), ref, dtype=np.float64,
+                         nnz_per_row=npr, scale=scale)
+    assert allclose_spmv(np.asarray(d1(x)), ref, dtype=np.float64,
+                         nnz_per_row=npr, scale=scale)
+    # pure-apply protocol exposes the permuted space via encode/decode
+    from cfs_spmv_tpu.utils.timing import as_pure
+
+    fn, ops, encode, decode = as_pure(d1, x)
+    y = np.asarray(decode(fn(ops, encode(np.asarray(x)))))
+    assert allclose_spmv(y, ref, dtype=np.float64, nnz_per_row=npr,
+                         scale=scale)
+
+
+def test_scaling_model_runs():
+    """The config-5 evidence path: far-fraction profile + overlap model
+    produce sane numbers without any device state."""
+    from cfs_spmv_tpu.parallel.scaling import far_profile, weak_scaling_model
+
+    coo = COO.random(4000, 4000, 6.0, symmetric=True, bandwidth=300,
+                     seed=33, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    fracs = []
+    for nd in (2, 4, 8):
+        p = far_profile(csr, nd)
+        assert 0.0 <= p.far_fraction <= 1.0
+        assert p.ndev == nd
+        fracs.append(p.far_fraction)
+    assert fracs[0] <= fracs[-1] + 1e-9  # finer cuts never shrink halo
+    model = weak_scaling_model(csr, measured_nnz_s=2e11, chip="v5e")
+    for m in model:
+        assert 0.0 < m["efficiency"] <= 1.0
+        assert m["t_comm_s"] >= 0.0
+    # a banded matrix on big shards communicates little: efficiency high
+    assert model[0]["efficiency"] > 0.5
+
+
 def test_multihost_noop_single_process():
     from cfs_spmv_tpu.parallel import multihost
 
