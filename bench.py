@@ -8,10 +8,18 @@ requirement).
 
 Matrices: SuiteSparse files are not vendored (reference passes .mtx paths
 on argv; none are checked in) and this host has no network, so the bench
-synthesizes a cant-proxy: 62464 rows, symmetric, banded FEM-like
-structure with uniform row degree ~64 — the shape/density of `cant`
-(BASELINE config 2). Secondary lines cover a 3D 27-point stencil
-(nlpkkt-like) and the cant proxy with bfloat16 value storage.
+synthesizes proxies spanning the EASY and the HARD shapes:
+
+- cant proxy (banded FEM, SDIA stream) — BASELINE config 2;
+- 3D 27-point stencil (nlpkkt-like);
+- audikw-class proxy (3x3 blocks at random small offsets): RCM-resistant
+  scattered structure that lands ~99% on the one-sided far stream — the
+  worst case for this design;
+- general-asymmetric banded-scattered proxy (one-sided BELL2 path).
+
+The headline JSON reports the MINIMUM vs-roofline ratio across the fp32
+workloads (worst case, not best case); per-workload detail goes to
+stderr, including bf16 storage, SpMM(8), and the fp64 XLA-COO path cost.
 
 Timing protocol: the axon tunnel has ~31 ms fixed round-trip latency, so
 iterations run inside one jitted fori_loop with a data dependency that
@@ -19,10 +27,11 @@ prevents hoisting; the two-point measurement (T(2k) - T(k)) / k cancels
 the fixed dispatch cost exactly (utils/timing.py).
 
 Prints ONE JSON line to stdout:
-  {"metric": "sym_spmv_nnz_s", "value": <nnz/s>, "unit": "nnz/s",
-   "vs_baseline": <value / (0.8 * roofline_nnz_s)>}
-vs_baseline >= 1.0 means the BASELINE target (>=80% of the HBM roofline)
-is met.
+  {"metric": "spmv_worst_nnz_s", "value": <nnz/s of the worst workload>,
+   "unit": "nnz/s", "vs_baseline": <min over workloads of
+   nnz_s / (0.8 * roofline_nnz_s)>}
+vs_baseline >= 1.0 means every workload meets the BASELINE target
+(>=80% of its HBM roofline).
 """
 
 from __future__ import annotations
@@ -93,7 +102,50 @@ def make_stencil27(g=40, dtype=np.float32, seed=0):
     return CSR.from_coo(coo)
 
 
-def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same"):
+def make_audikw_proxy(nb=30000, b=3, nbr=14, seed=0):
+    """audikw-class proxy: 3x3 dense blocks at random offsets within 300
+    block rows — RCM-resistant scattered structure whose entries land
+    almost entirely on the one-sided far stream (the hard shape the
+    round-1 headline hid; VERDICT r1 item 2)."""
+    from cfs_spmv_tpu import COO, CSR
+
+    rng = np.random.default_rng(seed)
+    br = np.repeat(np.arange(nb), nbr)
+    off = rng.integers(1, 300, nb * nbr)
+    bc = np.maximum(br - off, 0)
+    ri, ci = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    row = (br[:, None] * b + ri.ravel()[None, :]).ravel()
+    col = (bc[:, None] * b + ci.ravel()[None, :]).ravel()
+    val = rng.uniform(-1, 1, len(row))
+    keep = row > col
+    row, col, val = row[keep], col[keep], val[keep]
+    n = nb * b
+    diag = np.arange(n)
+    row = np.concatenate([row, diag])
+    col = np.concatenate([col, diag])
+    val = np.concatenate([val, rng.uniform(1, 2, n)])
+    return CSR.from_coo(
+        COO(n, n, row, col, val.astype(np.float32), symmetric=True)
+        .canonicalize()
+    )
+
+
+def make_general_asym(n=100_000, per_row=28, half_bw=1500, seed=0):
+    """General (asymmetric) banded-scattered proxy: ~per_row random
+    columns within the band — the general BELL2 one-sided path."""
+    from cfs_spmv_tpu import COO, CSR
+
+    rng = np.random.default_rng(seed)
+    row = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    col = row + rng.integers(-half_bw, half_bw + 1, n * per_row)
+    np.clip(col, 0, n - 1, out=col)
+    val = rng.uniform(-1, 1, len(row)).astype(np.float32)
+    coo = COO(n, n, row.astype(np.int64), col.astype(np.int64), val)
+    return CSR.from_coo(coo.canonicalize())
+
+
+def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same",
+              reorder="auto", rhs=0):
     from cfs_spmv_tpu.utils.timing import time_matvec
     from cfs_spmv_tpu import Format, SparseMatrix, SpDMV, Tuning
     from cfs_spmv_tpu.utils import roofline
@@ -101,7 +153,8 @@ def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same"):
 
     A = SparseMatrix.create(csr, Format.SSS if csr.symmetric else Format.CSR)
     t0 = time.perf_counter()
-    sp = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype, values=values)
+    sp = SpDMV(A, Tuning.AGGRESSIVE, dtype=dtype, values=values,
+               reorder=reorder)
     t_pre = time.perf_counter() - t0
 
     n = A.ncols
@@ -142,9 +195,50 @@ def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same"):
         f"{bpn:.1f}B/nnz)={sol/1e9:.1f} Gnnz/s -> {100*nnz_s/sol:.0f}% "
         f"| correct={ok}"
     )
+    if rhs:
+        X = np.random.default_rng(8).uniform(
+            1.0, 2.0, (n, rhs)
+        ).astype(dtype)
+        t_mm = time_matvec(sp, X, iters=max(iters // 4, 100))
+        log(
+            f"[{name}] SpMM({rhs}): t/iter={t_mm*1e6:.1f}us "
+            f"({t_mm/rhs*1e6:.1f}us/RHS, {t_mm/t_iter:.1f}x SpMV) "
+            f"{2*nnz_full*rhs/t_mm/1e9:.1f} GFLOP/s"
+        )
     return dict(
         name=name, ok=bool(ok), nnz_s=nnz_s, gflops=gflops,
         sol_nnz_s=sol, preproc_s=t_pre, t_iter=t_iter,
+    )
+
+
+def bench_fp64(n=8192, half_bw=12, seed=0, iters=300):
+    """fp64-on-TPU cost on the record (XLA COO path; the reference runs
+    all kernels in double under --enable-dp — VERDICT r1 missing #6)."""
+    import jax
+
+    from cfs_spmv_tpu import Format, SpDMV, SparseMatrix
+    from cfs_spmv_tpu.utils.platform import allclose_spmv
+    from cfs_spmv_tpu.utils.timing import time_matvec
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    csr = make_cant_proxy(n=n, half_bw=half_bw, dtype=np.float64, seed=seed)
+    A = SparseMatrix.create(csr, Format.SSS)
+    t0 = time.perf_counter()
+    sp = SpDMV(A, dtype=np.float64)
+    t_pre = time.perf_counter() - t0
+    x = np.random.default_rng(5).uniform(1, 2, A.ncols)
+    y = np.asarray(sp(x))
+    ok = allclose_spmv(
+        y, A.csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=A.tuned.nnz_full / A.nrows,
+        scale=A.csr.spmv_host(x, absolute=True),
+    )
+    t_iter = time_matvec(sp, x, iters=iters)
+    log(
+        f"[fp64_xla_coo] n={n} nnz={A.tuned.nnz_full} preproc="
+        f"{t_pre:.2f}s t/iter={t_iter*1e6:.1f}us "
+        f"{A.tuned.nnz_full/t_iter/1e9:.3f} Gnnz/s | correct={ok}"
     )
 
 
@@ -154,22 +248,48 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     results = []
-    results.append(bench_one("cant_proxy_sym", make_cant_proxy()))
+    results.append(
+        bench_one("cant_proxy_sym", make_cant_proxy(), rhs=8)
+    )
     results.append(bench_one("stencil27_sym", make_stencil27()))
-    # capability extra: bf16 value storage (looser tolerances; the
-    # headline metric stays fp32)
+    # the HARD shapes (VERDICT r1: worst case must be the tracked
+    # metric). RCM is skipped for the audikw proxy: measured rejected
+    # (bw 437 -> 450) and it costs minutes of host time at this size.
+    results.append(
+        bench_one(
+            "audikw_proxy_scattered", make_audikw_proxy(),
+            iters=1000, reorder=False, rhs=8,
+        )
+    )
+    results.append(
+        bench_one(
+            "general_asym_band", make_general_asym(),
+            iters=1000, reorder=False,
+        )
+    )
+    # capability extras (not in the headline): bf16 storage, fp64 cost
     bench_one("cant_proxy_sym_bf16", make_cant_proxy(), values="bfloat16")
+    bench_one(
+        "audikw_scattered_bf16", make_audikw_proxy(), iters=1000,
+        reorder=False, values="bfloat16",
+    )
+    bench_fp64()
 
-    head = results[0]
-    value = head["nnz_s"] if head["ok"] else 0.0
-    target = 0.8 * head["sol_nnz_s"]
+    worst = min(
+        results,
+        key=lambda r: (r["nnz_s"] / (0.8 * r["sol_nnz_s"])) if r["ok"]
+        else 0.0,
+    )
+    value = worst["nnz_s"] if worst["ok"] else 0.0
+    target = 0.8 * worst["sol_nnz_s"]
     print(
         json.dumps(
             dict(
-                metric="sym_spmv_nnz_s",
+                metric="spmv_worst_nnz_s",
                 value=round(value, 1),
                 unit="nnz/s",
                 vs_baseline=round(value / target, 4),
+                worst=worst["name"],
             )
         ),
         flush=True,

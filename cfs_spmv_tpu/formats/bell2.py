@@ -49,6 +49,7 @@ from .csr import CSR
 __all__ = [
     "Bell2Plan",
     "build_bell2_plan",
+    "build_general_plan",
     "auto_geometry",
     "LANES",
     "SUBLANES",
@@ -71,8 +72,13 @@ class Bell2Plan:
     nrows: int
     ncols: int
     nnz: int
-    vals: np.ndarray  # (C, 8, 128) dtype
-    packed: np.ndarray  # (C, 8, 128) int16 (q | r2<<7)
+    #: (C*8, 128) — chunk c is rows [8c, 8c+8). Stored 2-D so 16-bit
+    #: streams (int16 packed, bfloat16 values) tile natively as
+    #: (16, 128) without the half-wasted tiles that (C, 8, 128) blocks
+    #: pay (measured: the one-sided kernel is DMA-bound; the padding
+    #: doubled the packed stream's HBM traffic)
+    vals: np.ndarray  # (C*8, 128) dtype
+    packed: np.ndarray  # (C*8, 128) int16 (q | r2<<7)
     meta: np.ndarray  # (C, META_W) int32
     step_block: np.ndarray  # (G,) int32
     num_row_tiles: int
@@ -91,21 +97,43 @@ class Bell2Plan:
     #: the kernel builds the x-window stack once per run (from the run's
     #: first chunk) instead of once per chunk
     windows_shared: bool = False
+    #: contiguous-range windows: chunk c's windows are exactly rows
+    #: [meta[c,2], meta[c,2]+8) of the x operand, so the kernel loads the
+    #: whole stack as ONE dynamic (8,128) slab (~2 cycles/chunk cheaper
+    #: than 8 row loads). The windows table is still materialized, so
+    #: such plans also run correctly under the non-contig kernels.
+    windows_contig: bool = False
+    #: optional signed-offset dense-diagonal stream peeled off a general
+    #: square matrix (SDiaPlan; ops/sdia_kernel.sdia_gen_tiles) — the
+    #: general-matrix analog of the symmetric SDIA peel
+    dia: object | None = None
 
     @property
     def num_chunks(self) -> int:
-        return int(self.vals.shape[0])
+        return int(self.vals.shape[0]) // SUBLANES
 
     @property
     def padding_ratio(self) -> float:
-        return self.vals.size / max(self.nnz, 1)
+        slots = self.vals.size + (
+            0 if self.dia is None else self.dia.vals.size
+        )
+        stored = self.nnz + (0 if self.dia is None else self.dia.nnz)
+        return slots / max(stored, 1)
+
+    @property
+    def nnz_total(self) -> int:
+        """Stored entries including the peeled diagonal stream."""
+        return self.nnz + (0 if self.dia is None else self.dia.nnz)
 
     @property
     def spill_fraction(self) -> float:
         return 0.0  # the layout is total
 
     def stream_bytes(self) -> int:
-        return self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+        b = self.vals.nbytes + self.packed.nbytes + self.meta.nbytes
+        if self.dia is not None:
+            b += self.dia.stream_bytes()
+        return b
 
 
 def auto_geometry(nrows: int, nnz: int) -> tuple[int, int]:
@@ -303,7 +331,7 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
 
 
 def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
-                        max_windows=SUBLANES, group=1):
+                        max_windows=SUBLANES, group=1, contig=False):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Returns pack_chunks-shaped outputs in
@@ -319,10 +347,12 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
     S = int(seg.max()) + 1 if len(seg) else 1
     order = np.argsort((tile * S + seg) * 128 + q, kind="stable")
     ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
-    packed = _native.pack_slots(ts, lrs, sgs, qs, max_windows, group=group)
+    packed = _native.pack_slots(
+        ts, lrs, sgs, qs, max_windows, group=group, contig=contig
+    )
     if packed is None:
         packed = _native.pack_slots_py(
-            ts, lrs, sgs, qs, max_windows, group=group
+            ts, lrs, sgs, qs, max_windows, group=group, contig=contig
         )
     e_chunk_s, e_sub_s, e_r2_s, chunk_tiles, windows, nwin = packed
     if group > 1:
@@ -363,35 +393,39 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
-#: one-sided kernel cost model (v5e cycles): per-chunk datapath vs
-#: per-window-stack build — used only to RANK slot-packing candidates,
-#: identical across native/Python packers so plans stay reproducible
-_RUN_ALPHA = 5.0
-_RUN_STACK = 8.0
+#: one-sided kernel cost model (v5e cycles/chunk), measured round 2:
+#: ~9.3 with a contiguous-range window slab (one dynamic (8,128) load),
+#: ~11.4 with 8 separate window-row loads. Used only to RANK packing
+#: candidates — identical across native/Python packers so plans stay
+#: reproducible.
+_CYC_CONTIG = 9.3
+_CYC_DISTINCT = 11.4
 
 
 def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
                          allow_runs, max_windows=SUBLANES):
-    """Pack with group 1/4/8 superchunks and keep the cheapest by the
-    kernel cost model: shared-window groups amortize the x-window stack
-    over ``group`` chunks but can cost fill (32-64 subrows share 8
-    window slots). Returns (packed, group, run_len)."""
-    groups = [1]
-    if allow_runs:
-        groups += [g for g in (4, 8) if K % g == 0]
-    best = None
-    for g in groups:
-        pk = _pack_slots_entries(
-            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
-            max_windows=max_windows, group=g,
-        )
-        C = len(pk[3])
-        est = C * (_RUN_ALPHA + _RUN_STACK / g)
-        if best is None or est < best[0]:
-            best = (est, g, pk)
-    _, g, pk = best
-    run_len = g if g > 1 else (4 if allow_runs and K % 4 == 0 else 1)
-    return pk, g, run_len
+    """Slot-pack with contiguous-range windows vs free 8-window tables
+    and keep the cheaper by the measured cycle model.
+
+    Round-2 v5e ablations: the per-chunk datapath dominates; superchunk
+    window sharing (group > 1) never reduced chunks (the lane-conflict
+    floor binds first) and cost fill, so groups are no longer tried.
+    Contiguous ranges cost nothing on the seg-ascending arrival order
+    but make the x-window stack ONE dynamic slab load; distinct windows
+    win only when far-apart segment clusters share chunks.
+    Returns (packed, contig, run_len)."""
+    pk_c = _pack_slots_entries(
+        tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+        max_windows=max_windows, contig=True,
+    )
+    pk_d = _pack_slots_entries(
+        tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+        max_windows=max_windows,
+    )
+    contig = len(pk_c[3]) * _CYC_CONTIG <= len(pk_d[3]) * _CYC_DISTINCT
+    pk = pk_c if contig else pk_d
+    run_len = 4 if allow_runs and K % 4 == 0 else 1
+    return pk, contig, run_len
 
 
 def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
@@ -494,9 +528,10 @@ def build_bell2_plan(
     # full 8 windows: caps of 4/6 saved loads but cost 14% more
     # chunks at scale (fill dominates); keep the knob, default 8
     slot_windows = SUBLANES
-    packed_alt = group = None
+    packed_alt = None
+    contig = False
     if slot_ok and avg_per_ts < 24:
-        packed_alt, group, run_pick = _choose_slot_packing(
+        packed_alt, contig, run_pick = _choose_slot_packing(
             tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
             allow_runs=allow_runs, max_windows=slot_windows,
         )
@@ -505,16 +540,14 @@ def build_bell2_plan(
     shared_windows = False
     if packed_alt is not None:
         info(
-            "bell2: slot packing (%.1f nnz per tile-seg, group=%d)",
-            avg_per_ts, group,
+            "bell2: slot packing (%.1f nnz per tile-seg, contig=%s)",
+            avg_per_ts, contig,
         )
         e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
-        shared_windows = group > 1
         if allow_runs:
             wmax = slot_windows  # static; pinned to 8 for SPMD plans
         if run_pick > 1:
-            # runs batch same-tile chunks: one flush per run, and for
-            # superchunk (shared-window) plans one x-window stack per run
+            # runs batch same-tile chunks: one flush per run
             run_len = run_pick
             (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
                 e_chunk, chunk_tiles, windows, nwin, run_len
@@ -530,17 +563,17 @@ def build_bell2_plan(
         if pad0 > 1.7 and slot_ok:
             # mispredicted: retry with the slot packer and keep the
             # smaller plan
-            alt, group, run_pick = _choose_slot_packing(
+            alt, contig_a, run_pick = _choose_slot_packing(
                 tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
                 allow_runs=allow_runs, max_windows=slot_windows,
             )
             if alt is not None and len(alt[3]) < len(chunk_tiles):
                 info(
-                    "bell2: slot packing %d -> %d chunks (group=%d)",
-                    len(chunk_tiles), len(alt[3]), group,
+                    "bell2: slot packing %d -> %d chunks (contig=%s)",
+                    len(chunk_tiles), len(alt[3]), contig_a,
                 )
                 e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
-                shared_windows = group > 1
+                contig = contig_a
                 if allow_runs:
                     wmax = slot_windows
                 if run_pick > 1:
@@ -548,6 +581,24 @@ def build_bell2_plan(
                     (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
                         e_chunk, chunk_tiles, windows, nwin, run_len
                     )
+
+    if contig:
+        # the contig kernel loads x rows [w0, w0+8); enlarge the gather
+        # space to >= 8 rows and clamp w0 so the slab stays in bounds
+        # (r2 shifts up by the same amount — still < 8 since the top
+        # real segment is x_rows-1)
+        x_rows = max(x_rows, SUBLANES)
+        w0 = windows[:, 0].astype(np.int64)
+        delta = np.maximum(0, w0 - (x_rows - SUBLANES))
+        if delta.any():
+            e_r2 = e_r2 + delta[e_chunk]
+            base = (w0 - delta).astype(np.int32)
+            windows = base[:, None] + np.arange(
+                SUBLANES, dtype=np.int32
+            )[None, :]
+            nwin = np.minimum(
+                nwin.astype(np.int64) + delta, SUBLANES
+            ).astype(np.int32)
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles
@@ -572,13 +623,68 @@ def build_bell2_plan(
     packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
 
     plan = Bell2Plan(
-        n, m, nnz, vals_arr, packed, meta, step_block,
-        T, x_rows, K, BT, run_len, wmax, shared_windows,
+        n, m, nnz,
+        vals_arr.reshape(C * SUBLANES, LANES),
+        packed.reshape(C * SUBLANES, LANES),
+        meta, step_block,
+        T, x_rows, K, BT, run_len, wmax, shared_windows, contig,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",
         n, m, nnz, C, plan.padding_ratio,
     )
+    return plan
+
+
+def build_general_plan(
+    csr: CSR,
+    *,
+    dtype=np.float32,
+    dia: bool = True,
+    chunks_per_step: int | None = None,
+    tiles_per_block: int | None = None,
+) -> Bell2Plan:
+    """General-matrix plan: peel dense signed-offset diagonals into an
+    index-free SDIA stream (square matrices), the residual into BELL2.
+
+    The general analog of the symmetric SDIA peel in
+    ``build_sbell_plan`` — banded/stencil GENERAL matrices get the same
+    index-free fast path the symmetric ones do (VERDICT r1: the general
+    path previously always paid the one-sided gather stream).
+    """
+    from .sdia import extract_sdia
+
+    if not (dia and csr.nrows == csr.ncols and csr.nnz):
+        return build_bell2_plan(
+            csr, dtype=dtype, chunks_per_step=chunks_per_step,
+            tiles_per_block=tiles_per_block,
+        )
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    col = csr.indices.astype(np.int64)
+    val = np.asarray(csr.data)
+    dia_plan, resid = extract_sdia(
+        row, col, val, csr.nrows, dtype=dtype, signed=True
+    )
+    if dia_plan is None:
+        return build_bell2_plan(
+            csr, dtype=dtype, chunks_per_step=chunks_per_step,
+            tiles_per_block=tiles_per_block,
+        )
+    from .coo import COO
+
+    rcsr = CSR.from_coo(
+        COO(
+            csr.nrows, csr.ncols,
+            row[resid].astype(np.int64), col[resid].astype(np.int64),
+            val[resid],
+        )
+    )
+    plan = build_bell2_plan(
+        rcsr, dtype=dtype, chunks_per_step=chunks_per_step,
+        tiles_per_block=tiles_per_block,
+    )
+    plan.dia = dia_plan
     return plan
 
 
@@ -590,7 +696,7 @@ def _empty_plan(n, m, T, x_rows, dtype, K, BT):
     step_block = blk_full[::K].copy()
     return Bell2Plan(
         n, m, 0,
-        np.zeros((C, SUBLANES, LANES), dtype),
-        np.zeros((C, SUBLANES, LANES), np.int16),
+        np.zeros((C * SUBLANES, LANES), dtype),
+        np.zeros((C * SUBLANES, LANES), np.int16),
         meta, step_block, T, x_rows, K, BT,
     )

@@ -61,8 +61,8 @@ class SBellPlan:
     nrows: int
     nnz_full: int
     diag: np.ndarray  # (nrows,)
-    vals: np.ndarray  # (C, 8, 128)
-    packed: np.ndarray  # (C, 8, 128) int32
+    vals: np.ndarray  # (C*8, 128) — 2-D like Bell2Plan (native tiles)
+    packed: np.ndarray  # (C*8, 128) int32
     meta: np.ndarray  # (C, META_W) int32
     step_block: np.ndarray  # (G,)
     num_row_tiles: int
@@ -76,7 +76,7 @@ class SBellPlan:
 
     @property
     def num_chunks(self) -> int:
-        return int(self.vals.shape[0])
+        return int(self.vals.shape[0]) // SUBLANES
 
     @property
     def padding_ratio(self) -> float:
@@ -121,6 +121,7 @@ def build_sbell_plan(
     dia: bool = True,
     dia_fill: float = SDIA_FILL,
     dia_min_count: int = SDIA_MIN_COUNT,
+    dia_mirror: bool | None = None,
 ) -> SBellPlan:
     """Build the paired symmetric plan from lower-triangle CSR storage.
 
@@ -147,9 +148,17 @@ def build_sbell_plan(
 
     dia_plan = None
     if dia and len(row):
+        from .sdia import SDIA_SYM_ROWS_MAX
+
         dia_plan, resid = extract_sdia(
             row, col, val, n, dtype=dtype, fill=dia_fill,
             min_count=dia_min_count,
+            # past the whole-y-in-VMEM ceiling, mirror the diagonals and
+            # run the blocked-y one-sided kernel (removes the ~12M-row
+            # cliff at 2x diagonal value traffic)
+            mirror=(
+                n > SDIA_SYM_ROWS_MAX if dia_mirror is None else dia_mirror
+            ),
         )
         if dia_plan is not None:
             row, col, val = row[resid], col[resid], val[resid]
@@ -178,6 +187,9 @@ def build_sbell_plan(
             chunks_per_step=min(K, 32), tiles_per_block=BT,
             cover_all_tiles=False,
         )
+        # contig-window far plans enlarge their x gather space to >= 8
+        # rows; the shared x operand must cover it (extra rows are zero)
+        x_rows = max(x_rows, far_plan.x_rows)
 
     row, col, val = row[pairable], col[pairable], val[pairable]
     tile, seg, off = tile[pairable], seg[pairable], off[pairable]
@@ -248,7 +260,9 @@ def build_sbell_plan(
 
     plan = SBellPlan(
         n, nnz_full, diag.astype(dtype),
-        vals_arr, pk, meta, step_block,
+        vals_arr.reshape(C * SUBLANES, LANES),
+        pk.reshape(C * SUBLANES, LANES),
+        meta, step_block,
         T, x_rows, K, BT, nnz_paired, far_plan, tw, dia_plan,
     )
     info(

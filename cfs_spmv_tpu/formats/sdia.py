@@ -29,15 +29,29 @@ SDIA_MIN_COUNT = 256
 #: maximum number of stored diagonals (VMEM block + trace size cap)
 SDIA_MAX_D = 192
 
+#: above this row count the symmetric kernel's whole-x+y-in-VMEM
+#: footprint (8 B/row + the vals block) no longer fits a v5e's 128 MB
+#: VMEM; diagonals are then stored MIRRORED (2x values) and run on the
+#: blocked-y one-sided kernel instead (env CFS_SDIA_SYM_ROWS_MAX)
+import os as _os
+
+SDIA_SYM_ROWS_MAX = int(
+    _os.environ.get("CFS_SDIA_SYM_ROWS_MAX", 10_000_000)
+)
+
 BLOCK_ROWS = SUBLANES * LANES
 
 
 @dataclasses.dataclass
 class SDiaPlan:
     nrows: int
-    offsets: tuple[int, ...]  # strictly positive, ascending
+    #: diagonal offsets d = row - col. All positive (strict lower) for
+    #: the paired symmetric kernel; signed for the one-sided/general
+    #: kernel (``sdia_gen_tiles``) — any negative offset present means
+    #: the plan targets the blocked-y one-sided kernel
+    offsets: tuple[int, ...]
     vals: np.ndarray  # (R, D, 8, 128)
-    nnz: int  # stored (lower-triangle) entries
+    nnz: int  # stored entries
 
     @property
     def num_blocks(self) -> int:
@@ -61,20 +75,31 @@ def extract_sdia(
     fill: float = SDIA_FILL,
     min_count: int = SDIA_MIN_COUNT,
     max_d: int = SDIA_MAX_D,
+    mirror: bool = False,
+    signed: bool = False,
 ):
-    """Split strict-lower COO entries into (SDiaPlan | None, residual mask).
+    """Split COO entries into (SDiaPlan | None, residual mask).
 
     The mask is True for entries NOT absorbed into the diagonal stream.
+
+    ``signed`` admits super-diagonals (general matrices; the plan then
+    targets the one-sided blocked-y kernel). ``mirror`` stores each
+    strict-lower diagonal TWICE — offset +d scattered by row and offset
+    -d scattered by column (the Lᵀ plane, host-shifted) — so a symmetric
+    matrix larger than the whole-y-in-VMEM ceiling runs on the blocked-y
+    one-sided kernel at 2x value traffic.
     """
     if len(row) == 0:
         return None, np.ones(0, bool)
     off = row - col
     uniq, inv, cnt = np.unique(off, return_inverse=True, return_counts=True)
-    length = np.maximum(n - uniq, 1)
+    length = np.maximum(n - np.abs(uniq), 1)
     ok = (cnt >= min_count) & (cnt >= fill * length)
-    if ok.sum() > max_d:
+    if not signed and not mirror:
+        ok &= uniq > 0
+    if ok.sum() > max_d // (2 if mirror else 1):
         # keep the heaviest diagonals
-        order = np.argsort(cnt[ok])[::-1][:max_d]
+        order = np.argsort(cnt[ok])[::-1][: max_d // (2 if mirror else 1)]
         keep_ids = np.flatnonzero(ok)[order]
         ok = np.zeros_like(ok)
         ok[keep_ids] = True
@@ -89,7 +114,8 @@ def extract_sdia(
     from ..ops.sdia_kernel import _blocks_per_step
 
     R = -(-n // BLOCK_ROWS)
-    D = len(offsets)
+    D0 = len(offsets)
+    D = 2 * D0 if mirror else D0
     # pad R so the kernel can process RB blocks per grid step
     RB = _blocks_per_step(R, D)
     R = -(-R // RB) * RB
@@ -99,11 +125,21 @@ def extract_sdia(
     vals[g // BLOCK_ROWS, j, (g // LANES) % SUBLANES, g % LANES] = (
         val[sel].astype(dtype)
     )
-    plan = SDiaPlan(
-        n, tuple(int(d) for d in offsets), vals, int(sel.sum())
-    )
+    if mirror:
+        # the Lᵀ plane: offset -d holds A[g, g + d] = v_d[g + d], i.e.
+        # the same values scattered by COLUMN
+        gc = col[sel]
+        vals[gc // BLOCK_ROWS, D0 + j,
+             (gc // LANES) % SUBLANES, gc % LANES] = val[sel].astype(dtype)
+        all_offsets = tuple(int(d) for d in offsets) + tuple(
+            -int(d) for d in offsets
+        )
+    else:
+        all_offsets = tuple(int(d) for d in offsets)
+    plan = SDiaPlan(n, all_offsets, vals, int(sel.sum()) * (2 if mirror else 1))
     info(
-        "sdia: %d diagonals, nnz=%d (%.1f%% of lower), pad=%.2fx",
-        D, plan.nnz, 100 * plan.nnz / len(row), plan.padding_ratio,
+        "sdia: %d diagonals%s, nnz=%d (%.1f%% of stored), pad=%.2fx",
+        D, " (mirrored)" if mirror else "", plan.nnz,
+        100 * sel.mean(), plan.padding_ratio,
     )
     return plan, ~sel

@@ -111,7 +111,7 @@ def _load():
         lib.cfs_pack_slots.argtypes = [
             i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i32p, i32p,
         ]
         _lib = lib
@@ -179,7 +179,8 @@ def pack_units(uw_start, uw_end, uw_seg, unit_tile, sublanes, max_windows):
     )
 
 
-def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
+def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
+               contig=False):
     """Conflict-aware entry-level packing (csrc cfs_pack_slots).
 
     Entries must be sorted by (tile, seg, lane_c). Returns per-entry
@@ -205,7 +206,7 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
         np.ascontiguousarray(lane_r, np.int64),
         np.ascontiguousarray(seg, np.int64),
         np.ascontiguousarray(lane_c, np.int64),
-        n, max_windows, ring, group,
+        n, max_windows, ring, group, int(contig),
         e_chunk, e_sub, e_r2, chunk_tile, windows, nwin,
     )
     if C0 < 0:
@@ -216,7 +217,8 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
     )
 
 
-def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
+def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
+                  contig=False):
     """Pure-Python mirror of cfs_pack_slots (CI fallback; slow)."""
     n = len(tile)
     nsub = 8 * group
@@ -236,9 +238,14 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
         placed = False
         for cid in open_ids:
             used_r, cseg, wl = state[cid]
-            w = wl.index(sg) if sg in wl else -1
-            if w < 0 and len(wl) >= max_windows:
-                continue
+            if contig:
+                w = sg - wl[0]
+                if w < 0 or w >= max_windows:
+                    continue
+            else:
+                w = wl.index(sg) if sg in wl else -1
+                if w < 0 and len(wl) >= max_windows:
+                    continue
             for s in range(nsub):
                 if lr in used_r[s]:
                     continue
@@ -247,7 +254,10 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1):
                     continue
                 used_r[s].add(lr)
                 cseg[s][lc] = sg
-                if w < 0:
+                if contig:
+                    while len(wl) <= w:
+                        wl.append(wl[0] + len(wl))
+                elif w < 0:
                     wl.append(sg)
                     w = len(wl) - 1
                 e_chunk[i], e_sub[i], e_r2[i] = cid, s, w

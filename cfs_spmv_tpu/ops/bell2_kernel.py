@@ -153,6 +153,21 @@ def _stack_windows_slim_b(x_ref, meta_ref, k, b, nwin):
     return jnp.concatenate(rows + [pad], axis=0)
 
 
+def _chunk(ref, k):
+    """Chunk k's (8, 128) slab of a 2-D (K*8, 128) stream block."""
+    return ref[k * SUBLANES:(k + 1) * SUBLANES, :]
+
+
+def _stack_slab(x_ref, meta_ref, k):
+    """Contiguous-range window stack: ONE dynamic (8, 128) slab load
+    (plans with ``windows_contig``; rows [meta[k,2], meta[k,2]+8))."""
+    return x_ref[pl.ds(meta_ref[0, k, 2], SUBLANES), :]
+
+
+def _stack_slab_b(x_ref, meta_ref, k, b):
+    return x_ref[b, pl.ds(meta_ref[0, k, 2], SUBLANES), :]
+
+
 def _gather_x(W, pk):
     """Two-step gather: x value for every slot of the chunk."""
     if pk.dtype != jnp.int32:  # one-sided streams store int16
@@ -178,25 +193,34 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
-                  run=1, wmax=SUBLANES, shared=False):
+                  run=1, wmax=SUBLANES, shared=False, contig=False):
     _zero_on_new_block(sb_ref, y_ref)
+
+    def stack(k):
+        if contig:
+            return _stack_slab(x_ref, meta_ref, k)
+        return _stack_windows(x_ref, meta_ref, k, wmax)
+
     for k0 in range(0, K, run):
         # a run's chunks share one row tile: accumulate in register and
         # flush one sum + read-modify-write per run. Superchunk plans
         # (shared=True) also share the window table, so the x-window
         # stack is built once per run.
-        W0 = _stack_windows(x_ref, meta_ref, k0, wmax) if shared else None
+        W0 = stack(k0) if shared else None
         acc = None
         for k in range(k0, k0 + run):
-            W = W0 if shared else _stack_windows(x_ref, meta_ref, k, wmax)
-            g = _gather_x(W, pk_ref[0, k])
-            vg = vals_ref[0, k] * g
+            W = W0 if shared else stack(k)
+            g = _gather_x(W, _chunk(pk_ref, k))
+            vg = _chunk(vals_ref, k) * g
             acc = vg if acc is None else acc + vg
         contrib = jnp.sum(acc, axis=0, keepdims=True)
         y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
 
 
 def _grid_spec(G, K, BT):
+    # one-sided streams are 2-D (C*8, 128): full native tiles for every
+    # element width (the kernel is DMA-bound; 3-D (C,8,128) blocks pad
+    # 16-bit data to half-empty (16,128) tiles and double its traffic)
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -206,10 +230,10 @@ def _grid_spec(G, K, BT):
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -227,10 +251,10 @@ def _grid_spec_mm(G, K, BT, B):
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -243,7 +267,7 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared"),
+                     "interpret", "run", "wmax", "shared", "contig"),
 )
 @_no_x64
 def bell2_spmv_tiles(
@@ -256,15 +280,17 @@ def bell2_spmv_tiles(
     run: int = 1,
     wmax: int = SUBLANES,
     shared: bool = False,
+    contig: bool = False,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0, f"chunk stream not padded to K={K} (C={C})"
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax, shared=shared),
+        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax, shared=shared,
+                          contig=contig),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -277,8 +303,8 @@ def bell2_spmv_tiles(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x2d,
     )
     return out[:num_row_tiles]
@@ -286,7 +312,7 @@ def bell2_spmv_tiles(
 
 def _bell2_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
-    wmax=SUBLANES, shared=False,
+    wmax=SUBLANES, shared=False, contig=False,
 ):
     g = pl.program_id(0)
 
@@ -296,13 +322,18 @@ def _bell2_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
+    def stack(k):
+        if contig:
+            return _stack_slab(x_ref, meta_ref, k)
+        return _stack_windows(x_ref, meta_ref, k, wmax)
+
     for k0 in range(0, K, run):
-        W0 = _stack_windows(x_ref, meta_ref, k0, wmax) if shared else None
+        W0 = stack(k0) if shared else None
         acc = None
         for k in range(k0, k0 + run):
-            W = W0 if shared else _stack_windows(x_ref, meta_ref, k, wmax)
-            g = _gather_x(W, pk_ref[0, k])
-            vg = vals_ref[0, k] * g
+            W = W0 if shared else stack(k)
+            g = _gather_x(W, _chunk(pk_ref, k))
+            vg = _chunk(vals_ref, k) * g
             acc = vg if acc is None else acc + vg
         contrib = jnp.sum(acc, axis=0, keepdims=True)
         y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
@@ -311,7 +342,7 @@ def _bell2_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared"),
+                     "interpret", "run", "wmax", "shared", "contig"),
 )
 @_no_x64
 def bell2_spmv_tiles_accum(
@@ -324,6 +355,7 @@ def bell2_spmv_tiles_accum(
     run: int = 1,
     wmax: int = SUBLANES,
     shared: bool = False,
+    contig: bool = False,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -331,7 +363,7 @@ def bell2_spmv_tiles_accum(
     ``cover_all_tiles=False``); ``y_tiles`` is aliased into the output so
     untouched blocks keep their prior values. Used for the symmetric
     plan's far residual, whose nonzeros touch few tiles."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
     G = C // K
@@ -346,10 +378,10 @@ def bell2_spmv_tiles_accum(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, LANES), _i32map(lambda g, s: (s[g], 0))),
@@ -358,7 +390,7 @@ def bell2_spmv_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax,
-                          shared=shared),
+                          shared=shared, contig=contig),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -366,8 +398,8 @@ def bell2_spmv_tiles_accum(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x2d,
         y_tiles,
     )
@@ -375,24 +407,24 @@ def bell2_spmv_tiles_accum(
 
 def _bell2_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
-    wmax=SUBLANES, shared=False,
+    wmax=SUBLANES, shared=False, contig=False,
 ):
     _zero_on_new_block(sb_ref, y_ref)
+
+    def stack(k, b):
+        if contig:
+            return _stack_slab_b(x_ref, meta_ref, k, b)
+        return _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
-            W0 = (
-                _stack_windows_b(x_ref, meta_ref, k0, b, wmax)
-                if shared else None
-            )
+            W0 = stack(k0, b) if shared else None
             acc = None
             for k in range(k0, k0 + run):
-                W = (
-                    W0 if shared
-                    else _stack_windows_b(x_ref, meta_ref, k, b, wmax)
-                )
-                g = _gather_x(W, pk_ref[0, k])
-                vg = vals_ref[0, k] * g
+                W = W0 if shared else stack(k, b)
+                g = _gather_x(W, _chunk(pk_ref, k))
+                vg = _chunk(vals_ref, k) * g
                 acc = vg if acc is None else acc + vg
             contrib = jnp.sum(acc, axis=0, keepdims=True)
             y_ref[b, pl.ds(sub, 1), :] += contrib
@@ -401,7 +433,7 @@ def _bell2_mm_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared"),
+                     "interpret", "run", "wmax", "shared", "contig"),
 )
 @_no_x64
 def bell2_spmm_tiles(
@@ -414,9 +446,10 @@ def bell2_spmm_tiles(
     run: int = 1,
     wmax: int = SUBLANES,
     shared: bool = False,
+    contig: bool = False,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     B = x3d.shape[0]
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
@@ -424,7 +457,7 @@ def bell2_spmm_tiles(
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
-                          shared=shared),
+                          shared=shared, contig=contig),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -433,8 +466,8 @@ def bell2_spmm_tiles(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x3d,
     )
     return out[:, :num_row_tiles]
@@ -458,8 +491,8 @@ def _sbell_kernel(
     g = pl.program_id(0)
     block = sb_ref[g]
     for k in range(K):
-        pk = pk_ref[0, k]
-        v = vals_ref[0, k]
+        pk = _chunk(pk_ref, k)
+        v = _chunk(vals_ref, k)
         sub_t = meta_ref[0, k, 0]
 
         # row side: y[r] += v * x[c]
@@ -498,7 +531,7 @@ def sbell_spmv_tiles(
     interpret: bool = False,
 ):
     """y tiles = (L + Lᵀ) @ x from the paired strict-lower stream."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
     G = C // K
@@ -517,8 +550,8 @@ def sbell_spmv_tiles(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x2d,
     )
     return out[:num_row_tiles]
@@ -531,8 +564,8 @@ def _sbell_mm_kernel(
     g = pl.program_id(0)
     block = sb_ref[g]
     for k in range(K):
-        pk = pk_ref[0, k]
-        v = vals_ref[0, k]
+        pk = _chunk(pk_ref, k)
+        v = _chunk(vals_ref, k)
         sub_t = meta_ref[0, k, 0]
         r2 = (pk >> 7) & 0x7
         for b in range(n_rhs):
@@ -566,7 +599,7 @@ def sbell_spmm_tiles(
     interpret: bool = False,
 ):
     """Y tiles (B, T, 128) = (L + Lᵀ) @ X from the paired stream."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     B = x3d.shape[0]
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
@@ -582,8 +615,8 @@ def sbell_spmm_tiles(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x3d,
     )
     return out[:, :num_row_tiles]
@@ -591,7 +624,7 @@ def sbell_spmm_tiles(
 
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
-    run=1, wmax=SUBLANES, shared=False,
+    run=1, wmax=SUBLANES, shared=False, contig=False,
 ):
     g = pl.program_id(0)
 
@@ -601,21 +634,20 @@ def _bell2_mm_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
+    def stack(k, b):
+        if contig:
+            return _stack_slab_b(x_ref, meta_ref, k, b)
+        return _stack_windows_b(x_ref, meta_ref, k, b, wmax)
+
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
         for b in range(n_rhs):
-            W0 = (
-                _stack_windows_b(x_ref, meta_ref, k0, b, wmax)
-                if shared else None
-            )
+            W0 = stack(k0, b) if shared else None
             acc = None
             for k in range(k0, k0 + run):
-                W = (
-                    W0 if shared
-                    else _stack_windows_b(x_ref, meta_ref, k, b, wmax)
-                )
-                g = _gather_x(W, pk_ref[0, k])
-                vg = vals_ref[0, k] * g
+                W = W0 if shared else stack(k, b)
+                g = _gather_x(W, _chunk(pk_ref, k))
+                vg = _chunk(vals_ref, k) * g
                 acc = vg if acc is None else acc + vg
             contrib = jnp.sum(acc, axis=0, keepdims=True)
             y_ref[b, pl.ds(sub, 1), :] += contrib
@@ -624,7 +656,7 @@ def _bell2_mm_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared"),
+                     "interpret", "run", "wmax", "shared", "contig"),
 )
 @_no_x64
 def bell2_spmm_tiles_accum(
@@ -637,9 +669,10 @@ def bell2_spmm_tiles_accum(
     run: int = 1,
     wmax: int = SUBLANES,
     shared: bool = False,
+    contig: bool = False,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
-    C = vals.shape[0]
+    C = vals.shape[0] // SUBLANES
     B = x3d.shape[0]
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
@@ -655,10 +688,10 @@ def bell2_spmm_tiles_accum(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(
-                (1, K, SUBLANES, LANES), _i32map(lambda g, s: (g, 0, 0, 0))
+                (K * SUBLANES, LANES), _i32map(lambda g, s: (g, 0))
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((B, BT, LANES), _i32map(lambda g, s: (0, s[g], 0))),
@@ -669,7 +702,7 @@ def bell2_spmm_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run,
-                          wmax=wmax, shared=shared),
+                          wmax=wmax, shared=shared, contig=contig),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -679,8 +712,8 @@ def bell2_spmm_tiles_accum(
     )(
         step_block,
         meta.reshape(G, K, META_W),
-        vals.reshape(G, K, SUBLANES, LANES),
-        packed.reshape(G, K, SUBLANES, LANES),
+        vals,
+        packed,
         x3d,
         y_tiles,
     )

@@ -41,7 +41,8 @@ SUBLANES = 8
 LANES = 128
 BLOCK_ROWS = SUBLANES * LANES  # 1024 rows per grid step
 
-__all__ = ["sdia_sym_tiles", "sdia_sym_tiles_mm", "BLOCK_ROWS"]
+__all__ = ["sdia_sym_tiles", "sdia_sym_tiles_mm", "sdia_gen_tiles",
+           "sdia_gen_tiles_mm", "BLOCK_ROWS"]
 
 
 def _group_by_sublane_shift(offsets):
@@ -177,6 +178,157 @@ def sdia_sym_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
         interpret=interpret,
     )(vals, xp, yp)
     return out[SP : SP + T]
+
+
+def _sdia_gen_kernel(vals_ref, x_ref, yin_ref, y_ref, *, offsets, SPB,
+                     dtype, RB, n_rhs=None):
+    """One-sided signed-offset diagonal kernel, y BLOCKED per grid step.
+
+    Row side only: ``y[g] += v_d[g] * x[g - d]`` for each signed offset
+    (d > 0 subdiagonal reads behind, d < 0 superdiagonal reads ahead).
+    x lives whole in VMEM (padded both ways); the y block covers exactly
+    this step's rows, so y is streamed — the variant that removes the
+    whole-y-in-VMEM row ceiling (~12M rows) of the symmetric kernel.
+    Symmetric matrices use it above that ceiling by storing mirrored
+    offsets (the Lᵀ diagonals as negative offsets, host-shifted), at 2x
+    the value traffic of the paired sym kernel.
+    """
+    y_ref[...] = yin_ref[...]
+    g = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+
+    for rb in range(RB):
+        base = SPB + (g * RB + rb) * SUBLANES
+        for b in ([None] if n_rhs is None else range(n_rhs)):
+            accr = jnp.zeros((SUBLANES, LANES), dtype)
+            for s, diags in sorted(
+                _group_by_sublane_shift(offsets).items()
+            ):
+                if b is None:
+                    t1 = x_ref[pl.ds(base - s, SUBLANES), :]
+                    t0 = x_ref[pl.ds(base - s - 1, SUBLANES), :]
+                else:
+                    t1 = x_ref[b, pl.ds(base - s, SUBLANES), :]
+                    t0 = x_ref[b, pl.ds(base - s - 1, SUBLANES), :]
+                for j, l in diags:
+                    v = vals_ref[rb, j]
+                    if l == 0:
+                        xs = t1
+                    else:
+                        xs = jnp.where(
+                            lane < l,
+                            pltpu.roll(t0, l, 1),
+                            pltpu.roll(t1, l, 1),
+                        )
+                    accr = accr + v * xs
+            if b is None:
+                y_ref[pl.ds(rb * SUBLANES, SUBLANES), :] += accr
+            else:
+                y_ref[b, pl.ds(rb * SUBLANES, SUBLANES), :] += accr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "interpret")
+)
+@_no_x64
+def sdia_gen_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
+    """y_tiles += A_dia x for signed-offset dense diagonals, y blocked.
+
+    ``vals``: (R, D, 8, 128) with vals[r, j, i, l] = A[g, g - d_j] at
+    flat row g = 1024 r + 128 i + l; ``offsets`` may contain positive
+    (sub) and negative (super) diagonals. ``y_tiles``: (T, 128),
+    accumulated (aliased); returns (T, 128).
+    """
+    R, D = vals.shape[0], vals.shape[1]
+    assert D == len(offsets)
+    T = y_tiles.shape[0]
+    # leading pad covers the largest backward read (d > 0), trailing
+    # pad the largest forward read (d < 0); +1 sublane for the l-split
+    SPB = max(max((d // LANES for d in offsets), default=0), 0) + 1
+    SPF = max(max((-(d // LANES) for d in offsets), default=0), 0) + 1
+    RB = _blocks_per_step(R, D)
+    assert R % RB == 0, "plan must pad R to the RB multiple"
+    body_rows = R * SUBLANES
+    rows = SPB + body_rows + SPF
+    xp = jnp.pad(
+        x2d, ((SPB, max(0, rows - SPB - x2d.shape[0])), (0, 0))
+    )[:rows]
+    yp = jnp.pad(y_tiles, ((0, max(0, body_rows - T)), (0, 0)))[:body_rows]
+    out = pl.pallas_call(
+        functools.partial(
+            _sdia_gen_kernel, offsets=offsets, SPB=SPB, dtype=x2d.dtype,
+            RB=RB,
+        ),
+        grid=(R // RB,),
+        in_specs=[
+            pl.BlockSpec(
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (RB * SUBLANES, LANES), _i32map(lambda g: (g, 0))
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (RB * SUBLANES, LANES), _i32map(lambda g: (g, 0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((body_rows, LANES), x2d.dtype),
+        input_output_aliases={2: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.size,
+            bytes_accessed=vals.size * vals.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vals, xp, yp)
+    return out[:T]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "interpret")
+)
+@_no_x64
+def sdia_gen_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
+    """Y_tiles += A_dia X for the signed-offset stream; X (B, x_rows,
+    128), Y_tiles (B, T, 128) accumulated (aliased)."""
+    R, D = vals.shape[0], vals.shape[1]
+    assert D == len(offsets)
+    B, T = y_tiles.shape[0], y_tiles.shape[1]
+    SPB = max(max((d // LANES for d in offsets), default=0), 0) + 1
+    SPF = max(max((-(d // LANES) for d in offsets), default=0), 0) + 1
+    RB = _blocks_per_step(R, D)
+    assert R % RB == 0, "plan must pad R to the RB multiple"
+    body_rows = R * SUBLANES
+    rows = SPB + body_rows + SPF
+    xp = jnp.pad(
+        x3d, ((0, 0), (SPB, max(0, rows - SPB - x3d.shape[1])), (0, 0))
+    )[:, :rows]
+    yp = jnp.pad(
+        y_tiles, ((0, 0), (0, max(0, body_rows - T)), (0, 0))
+    )[:, :body_rows]
+    out = pl.pallas_call(
+        functools.partial(
+            _sdia_gen_kernel, offsets=offsets, SPB=SPB, dtype=x3d.dtype,
+            RB=RB, n_rhs=B,
+        ),
+        grid=(R // RB,),
+        in_specs=[
+            pl.BlockSpec(
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (B, RB * SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, RB * SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, body_rows, LANES), x3d.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(vals, xp, yp)
+    return out[:, :T]
 
 
 @functools.partial(

@@ -27,7 +27,12 @@ from .bell2_kernel import (
     sbell_spmm_tiles,
     sbell_spmv_tiles,
 )
-from .sdia_kernel import sdia_sym_tiles, sdia_sym_tiles_mm
+from .sdia_kernel import (
+    sdia_gen_tiles,
+    sdia_gen_tiles_mm,
+    sdia_sym_tiles,
+    sdia_sym_tiles_mm,
+)
 
 __all__ = [
     "Bell2Device",
@@ -69,6 +74,13 @@ class Bell2Device:
     )
     windows_shared: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
+    )
+    windows_contig: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    dia_vals: Any = None  # signed-offset dense-diagonal stream (general)
+    dia_offsets: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
     )
 
 
@@ -115,6 +127,9 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         run_len=plan.run_len,
         max_windows=plan.max_windows,
         windows_shared=plan.windows_shared,
+        windows_contig=plan.windows_contig,
+        dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
+        dia_offsets=() if plan.dia is None else plan.dia.offsets,
     )
 
 
@@ -165,7 +180,13 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         run=dev.run_len,
         wmax=dev.max_windows,
         shared=dev.windows_shared,
+        contig=dev.windows_contig,
     )
+    if dev.dia_vals is not None:
+        tiles = sdia_gen_tiles(
+            dev.dia_vals, x2d, tiles, offsets=dev.dia_offsets,
+            interpret=use_interpret(),
+        )
     return tiles.reshape(-1)[: dev.nrows]
 
 
@@ -182,7 +203,13 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         run=dev.run_len,
         wmax=dev.max_windows,
         shared=dev.windows_shared,
+        contig=dev.windows_contig,
     )
+    if dev.dia_vals is not None:
+        tiles = sdia_gen_tiles_mm(
+            dev.dia_vals, x3d, tiles, offsets=dev.dia_offsets,
+            interpret=use_interpret(),
+        )
     return tiles.reshape(B, -1)[:, : dev.nrows].T
 
 
@@ -225,9 +252,16 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             run=dev.far.run_len,
             wmax=dev.far.max_windows,
             shared=dev.far.windows_shared,
+            contig=dev.far.windows_contig,
         )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
-        tiles = sdia_sym_tiles(
+        # mirrored (signed) offsets -> blocked-y one-sided kernel
+        dia_fn = (
+            sdia_gen_tiles
+            if any(d < 0 for d in dev.dia_offsets)
+            else sdia_sym_tiles
+        )
+        tiles = dia_fn(
             dev.dia_vals, x2d, tiles[: dev.num_row_tiles],
             offsets=dev.dia_offsets, interpret=use_interpret(),
         )
@@ -270,9 +304,15 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             run=dev.far.run_len,
             wmax=dev.far.max_windows,
             shared=dev.far.windows_shared,
+            contig=dev.far.windows_contig,
         )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
-        tiles = sdia_sym_tiles_mm(
+        dia_fn = (
+            sdia_gen_tiles_mm
+            if any(d < 0 for d in dev.dia_offsets)
+            else sdia_sym_tiles_mm
+        )
+        tiles = dia_fn(
             dev.dia_vals, x3d, tiles[:, : dev.num_row_tiles],
             offsets=dev.dia_offsets, interpret=use_interpret(),
         )

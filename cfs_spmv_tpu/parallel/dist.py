@@ -92,8 +92,9 @@ def _pad_bell2(plans: list[Bell2Plan], dtype):
     G_max = C_max // K
     for p in plans:
         pad = C_max - p.num_chunks
-        vals.append(np.pad(p.vals, ((0, pad), (0, 0), (0, 0))))
-        qidx.append(np.pad(p.packed, ((0, pad), (0, 0), (0, 0))))
+        # streams are 2-D (C*8, 128): pad whole 8-row chunk slabs
+        vals.append(np.pad(p.vals, ((0, pad * 8), (0, 0))))
+        qidx.append(np.pad(p.packed, ((0, pad * 8), (0, 0))))
         meta.append(np.pad(p.meta, ((0, pad), (0, 0))))
         sb = p.step_block
         last = sb[-1] if len(sb) else 0
@@ -440,8 +441,8 @@ class DistSpDMV:
         pv, pp, pm, ps = [], [], [], []
         for p in paired_plans:
             pad = C_max - p.num_chunks
-            pv.append(np.pad(p.vals, ((0, pad), (0, 0), (0, 0))))
-            pp.append(np.pad(p.packed, ((0, pad), (0, 0), (0, 0))))
+            pv.append(np.pad(p.vals, ((0, pad * 8), (0, 0))))
+            pp.append(np.pad(p.packed, ((0, pad * 8), (0, 0))))
             # padding chunk segs must stay in-block for the transpose
             # store: use the last step's block start as sentinel
             mpad = np.zeros((pad, META_W), np.int32)

@@ -195,11 +195,20 @@ def tune(
             plan.far_fraction, plan.padding_ratio,
         )
     elif fmt in (Format.CSR, Format.BELL, Format.COO, Format.SSS, Format.HYB):
+        from ..formats.bell2 import build_general_plan
+
         src = csr.to_coo().expand_symmetric() if csr.symmetric else None
         gen_csr = CSR.from_coo(src) if src is not None else csr
+        # aggressive tuning peels dense signed-offset diagonals into the
+        # index-free SDIA stream (general banded/stencil structure);
+        # Tuning.NONE stays the plain one-sided oracle path
+        peel = tuning == Tuning.AGGRESSIVE
         plan = cached_build(
-            lambda: _cast_values(build_bell2_plan(gen_csr, dtype=dtype), values),
+            lambda: _cast_values(
+                build_general_plan(gen_csr, dtype=dtype, dia=peel), values
+            ),
             gen_csr, dtype, cache_dir, fmt="bell2", values=values,
+            dia=peel,
         )
         dev = spmv_ops.to_device(plan)
         tuned = TunedMatrix(

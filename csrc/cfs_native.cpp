@@ -165,18 +165,27 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
 //
 // `group` packs SUPERCHUNKS of group*8 subrows sharing one <=8-window
 // table: the kernel then stacks the x windows once per run of `group`
-// chunks instead of per chunk — the dominant per-chunk cost on scattered
-// streams. e_chunk/e_sub index the SUPERCHUNK (sub in [0, group*8));
-// chunk_tile/windows/nwin are per superchunk; the Python caller expands
-// them to chunk granularity. group == 1 reproduces the original layout
-// bit-for-bit.
+// chunks instead of per chunk. e_chunk/e_sub index the SUPERCHUNK (sub
+// in [0, group*8)); chunk_tile/windows/nwin are per superchunk; the
+// Python caller expands them to chunk granularity. group == 1
+// reproduces the original layout bit-for-bit. (Measured on v5e: the
+// stacks are NOT the dominant cost and grouping costs fill — group 1 is
+// the default; the machinery remains for structures where it wins.)
+//
+// `contig` constrains a chunk's windows to a CONTIGUOUS segment range
+// [w0, w0+max_windows): entries arrive seg-ascending, so w0 is the
+// first entry's segment and the windows table holds w0..w0+nwin-1. The
+// kernel can then load the whole x-window stack as ONE dynamic (8,128)
+// slab instead of 8 separate row loads — the largest reducible per-chunk
+// cost (~2 cycles/chunk measured). Costs nothing on seg-sorted arrival
+// orders (chunks naturally take consecutive segments).
 //
 // Entries must arrive sorted by (tile, seg, lane_c). Returns the
 // superchunk count.
 int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
                        const int64_t *seg, const int64_t *lane_c,
                        int64_t n, int64_t max_windows, int64_t ring,
-                       int64_t group,
+                       int64_t group, int64_t contig,
                        int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
                        int64_t *chunk_tile, int32_t *windows,
                        int32_t *nwin) {
@@ -206,14 +215,21 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
     bool placed = false;
     for (int64_t o = 0; o < n_open && !placed; ++o) {
       Chunk &ch = open[(head + o) % ring];
-      // window for sg: existing slot or a free one
+      // window for sg: contiguous-range slot, or existing/free slot
       int64_t w = -1;
-      for (int64_t j = 0; j < ch.nw; ++j)
-        if (ch.wseg[j] == sg) { w = j; break; }
-      const bool new_w = (w < 0);
-      if (new_w) {
-        if (ch.nw >= max_windows) continue;
-        w = ch.nw;
+      bool new_w = false;
+      if (contig) {
+        w = sg - ch.wseg[0];  // w0 = first entry's segment (ascending)
+        if (w < 0 || w >= max_windows) continue;
+        new_w = (w >= ch.nw);
+      } else {
+        for (int64_t j = 0; j < ch.nw; ++j)
+          if (ch.wseg[j] == sg) { w = j; break; }
+        new_w = (w < 0);
+        if (new_w) {
+          if (ch.nw >= max_windows) continue;
+          w = ch.nw;
+        }
       }
       for (int64_t s = 0; s < nsub; ++s) {
         if (ch.used_r[s][lr >> 6] & (1ull << (lr & 63))) continue;
@@ -223,9 +239,12 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
         ch.used_r[s][lr >> 6] |= 1ull << (lr & 63);
         ch.cseg[s][lc] = (int32_t)sg;
         if (new_w) {
-          ch.wseg[ch.nw] = sg;
-          windows[ch.id * 8 + ch.nw] = (int32_t)sg;
-          ch.nw++;
+          const int64_t nw_new = contig ? w + 1 : ch.nw + 1;
+          for (int64_t j = ch.nw; j < nw_new; ++j) {
+            ch.wseg[j] = contig ? ch.wseg[0] + j : sg;
+            windows[ch.id * 8 + j] = (int32_t)ch.wseg[j];
+          }
+          ch.nw = nw_new;
           nwin[ch.id] = (int32_t)ch.nw;
         }
         e_chunk[i] = ch.id;

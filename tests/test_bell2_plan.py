@@ -25,11 +25,11 @@ def decode_bell2(plan):
         tile = block * plan.tiles_per_block + plan.meta[c, 0]
         for i in range(SUBLANES):
             for j in range(LANES):
-                v = plan.vals[c, i, j]
+                v = plan.vals[c * SUBLANES + i, j]
                 if v == 0:
                     continue
-                q = plan.packed[c, i, j] & 0x7F
-                r2 = (plan.packed[c, i, q] >> 7) & 0x7
+                q = plan.packed[c * SUBLANES + i, j] & 0x7F
+                r2 = (plan.packed[c * SUBLANES + i, q] >> 7) & 0x7
                 win = plan.meta[c, 2 + r2]
                 rows.append(tile * LANES + j)
                 cols.append(win * LANES + q)
@@ -46,12 +46,12 @@ def decode_sbell_pairs(plan):
         tile = block * plan.tiles_per_block + plan.meta[c, 0]
         for i in range(SUBLANES):
             for j in range(LANES):
-                v = plan.vals[c, i, j]
+                v = plan.vals[c * SUBLANES + i, j]
                 if v == 0:
                     continue
-                pk_rowside = plan.packed[c, i, j]
+                pk_rowside = plan.packed[c * SUBLANES + i, j]
                 q = pk_rowside & 0x7F  # == lane_c
-                pk_t = plan.packed[c, i, q]
+                pk_t = plan.packed[c * SUBLANES + i, q]
                 r2 = (pk_t >> 7) & 0x7
                 perm = (pk_t >> 10) & 0x7F
                 assert r2 != 7, "transpose slot holds the empty sentinel"
