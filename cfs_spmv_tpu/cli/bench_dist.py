@@ -6,7 +6,7 @@ per-iteration time, Gnnz/s and parallel efficiency. On a CPU backend
 the timings exercise the code path but are not TPU-representative.
 
 Usage: python -m cfs_spmv_tpu.cli.bench_dist <file.mtx> <iters>
-       [--devices N] [--weak] [--model]
+       [--devices N] [--weak] [--model] [--rhs B]
 
 ``--weak`` replicates the matrix block-diagonally per device (weak
 scaling: constant work per device) instead of splitting it (strong).
@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         else len(jax.devices())
     )
     weak = "--weak" in rest
+    rhs = int(rest[rest.index("--rhs") + 1]) if "--rhs" in rest else 0
 
     A = SparseMatrix.create(mmf_file, Format.CSR)
     base = None
@@ -92,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
             f"far: {100 * dsp.far_fraction:.2f}% "
             f"efficiency: {100 * eff:.0f}%"
         )
+        if rhs:
+            X = np.random.default_rng(1).uniform(
+                0.01, 0.42, (csr.ncols, rhs)
+            ).astype(np.float32)
+            t_mm = time_matvec(dsp, X, iters=max(loops // 4, 10))
+            print(
+                f"devices: {ndev} SpMM({rhs}): t(sec): {t_mm:.4g} "
+                f"({t_mm / rhs:.4g}/RHS, {t_mm / t_iter:.1f}x SpMV)"
+            )
         ndev *= 2
 
     if "--model" in rest:

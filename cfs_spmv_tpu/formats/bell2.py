@@ -103,6 +103,12 @@ class Bell2Plan:
     #: than 8 row loads). The windows table is still materialized, so
     #: such plans also run correctly under the non-contig kernels.
     windows_contig: bool = False
+    #: sparse accumulating stream (built with cover_all_tiles=False):
+    #: blocks without chunks are never visited, so the kernel must run
+    #: in accumulate mode against an initialized y (far residuals and
+    #: post-peel residuals use this — covering chunks for empty tiles
+    #: would otherwise cost as much traffic as the data itself)
+    sparse_stream: bool = False
     #: optional signed-offset dense-diagonal stream peeled off a general
     #: square matrix (SDiaPlan; ops/sdia_kernel.sdia_gen_tiles) — the
     #: general-matrix analog of the symmetric SDIA peel
@@ -402,28 +408,42 @@ _CYC_CONTIG = 9.3
 _CYC_DISTINCT = 11.4
 
 
+def _lane_floor_chunks(tile, lane, T):
+    """The packing lower bound: sum over tiles of ceil(max per-lane row
+    multiplicity / 8) — no layout with lane-pinned rows can do better."""
+    key = tile * LANES + lane
+    u, c = np.unique(key, return_counts=True)
+    per_tile_max = np.zeros(T, np.int64)
+    np.maximum.at(per_tile_max, u // LANES, c)
+    return int(np.ceil(per_tile_max / SUBLANES).sum())
+
+
 def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
                          allow_runs, max_windows=SUBLANES):
-    """Slot-pack with contiguous-range windows vs free 8-window tables
-    and keep the cheaper by the measured cycle model.
+    """Slot-pack with contiguous-range windows; fall back to free
+    8-window tables only when the contig pack lands far off the
+    lane-conflict floor (rare — entries arrive seg-ascending, so chunks
+    take consecutive segments either way).
 
     Round-2 v5e ablations: the per-chunk datapath dominates; superchunk
     window sharing (group > 1) never reduced chunks (the lane-conflict
     floor binds first) and cost fill, so groups are no longer tried.
-    Contiguous ranges cost nothing on the seg-ascending arrival order
-    but make the x-window stack ONE dynamic slab load; distinct windows
-    win only when far-apart segment clusters share chunks.
+    Contiguous ranges make the x-window stack ONE dynamic slab load.
     Returns (packed, contig, run_len)."""
     pk_c = _pack_slots_entries(
         tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
         max_windows=max_windows, contig=True,
     )
-    pk_d = _pack_slots_entries(
-        tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
-        max_windows=max_windows,
-    )
-    contig = len(pk_c[3]) * _CYC_CONTIG <= len(pk_d[3]) * _CYC_DISTINCT
-    pk = pk_c if contig else pk_d
+    contig = True
+    pk = pk_c
+    floor = _lane_floor_chunks(tile, lane, T)
+    if len(pk_c[3]) * _CYC_CONTIG > max(floor, 1) * _CYC_DISTINCT:
+        pk_d = _pack_slots_entries(
+            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+            max_windows=max_windows,
+        )
+        if len(pk_d[3]) * _CYC_DISTINCT < len(pk_c[3]) * _CYC_CONTIG:
+            pk, contig = pk_d, False
     run_len = 4 if allow_runs and K % 4 == 0 else 1
     return pk, contig, run_len
 
@@ -497,7 +517,9 @@ def build_bell2_plan(
     x_rows = max(1, -(-m // LANES))
 
     if nnz == 0:
-        return _empty_plan(n, m, T, x_rows, dtype, K, BT)
+        return _empty_plan(
+            n, m, T, x_rows, dtype, K, BT, cover=cover_all_tiles
+        )
 
     rowlen = np.diff(csr.indptr)
     row = np.repeat(np.arange(n, dtype=np.int64), rowlen)
@@ -525,6 +547,27 @@ def build_bell2_plan(
     else:
         n_ts = len(np.unique(ts_key))
     avg_per_ts = nnz / max(n_ts, 1)
+    if slot_ok and avg_per_ts >= 24:
+        # dense tile-segments still slot-pack better when the entries
+        # sit on SPARSE exact diagonals (block structure at random
+        # offsets — the audikw shape): sample the diagonal density
+        # instead of paying the full unit pipeline and its retry
+        samp = slice(None)
+        if nnz > 2_000_000:
+            samp = np.random.default_rng(0).integers(0, nnz, 1_000_000)
+        dk = (
+            tile[samp] * np.int64(1 << 33)
+            + (row[samp] - col[samp]) + np.int64(1 << 32)
+        )
+        _, dc = np.unique(dk, return_counts=True)
+        scale = nnz / max(
+            len(dk) if isinstance(samp, np.ndarray) else nnz, 1
+        )
+        diag_frac = float(
+            dc[dc * scale >= diag_threshold].sum() / max(len(dk), 1)
+        )
+        if diag_frac < 0.5:
+            avg_per_ts = 0.0  # force the slot packer
     # full 8 windows: caps of 4/6 saved loads but cost 14% more
     # chunks at scale (fill dominates); keep the knob, default 8
     slot_windows = SUBLANES
@@ -628,6 +671,7 @@ def build_bell2_plan(
         packed.reshape(C * SUBLANES, LANES),
         meta, step_block,
         T, x_rows, K, BT, run_len, wmax, shared_windows, contig,
+        not cover_all_tiles,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",
@@ -680,23 +724,34 @@ def build_general_plan(
             val[resid],
         )
     )
+    # the post-peel residual is sparse in tiles: build it accumulating
+    # so empty tiles get no covering chunks (they would cost as much
+    # stream traffic as the diagonals themselves on stencil matrices)
     plan = build_bell2_plan(
         rcsr, dtype=dtype, chunks_per_step=chunks_per_step,
-        tiles_per_block=tiles_per_block,
+        tiles_per_block=tiles_per_block, cover_all_tiles=False,
     )
     plan.dia = dia_plan
     return plan
 
 
-def _empty_plan(n, m, T, x_rows, dtype, K, BT):
-    chunk_tiles = np.arange(T, dtype=np.int64)
-    remap, C, blk_full = group_pad(chunk_tiles, K, BT)
-    meta = np.zeros((C, META_W), np.int32)
-    meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
-    step_block = blk_full[::K].copy()
+def _empty_plan(n, m, T, x_rows, dtype, K, BT, cover=True):
+    if cover:
+        chunk_tiles = np.arange(T, dtype=np.int64)
+        remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+        meta = np.zeros((C, META_W), np.int32)
+        meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
+        step_block = blk_full[::K].copy()
+    else:
+        # sparse (accumulating) empty stream: one zero step is enough —
+        # the apply layer skips the kernel entirely (has_work=False)
+        C = K
+        meta = np.zeros((C, META_W), np.int32)
+        step_block = np.zeros(1, np.int32)
     return Bell2Plan(
         n, m, 0,
         np.zeros((C * SUBLANES, LANES), dtype),
         np.zeros((C * SUBLANES, LANES), np.int16),
         meta, step_block, T, x_rows, K, BT,
+        sparse_stream=not cover,
     )

@@ -69,6 +69,7 @@ def _sdia_body(vals_ref, x_ref, y_ref, b, rb, RB, *, offsets, SP, dtype):
     lane9 = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES + 1, LANES), 1)
     xblk = xload(base)
     accr = jnp.zeros((SUBLANES, LANES), dtype)
+    acc0 = None  # the s == 0 transpose group merges into accr's flush
 
     for s, diags in sorted(_group_by_sublane_shift(offsets).items()):
         acc9 = jnp.zeros((SUBLANES + 1, LANES), dtype)
@@ -94,11 +95,22 @@ def _sdia_body(vals_ref, x_ref, y_ref, b, rb, RB, *, offsets, SP, dtype):
                 hi = jnp.pad(rp, ((1, 0), (0, 0)))
                 lo = jnp.pad(rp, ((0, 1), (0, 0)))
                 acc9 = acc9 + jnp.where(lane9 < LANES - l, hi, lo)
-        if b is None:
+        if s == 0:
+            acc0 = acc9  # rows [base-1, base+8) overlap accr's rows
+        elif b is None:
             y_ref[pl.ds(base - s - 1, SUBLANES + 1), :] += acc9
         else:
             y_ref[b, pl.ds(base - s - 1, SUBLANES + 1), :] += acc9
-    if b is None:
+    # one combined read-modify-write for the row side + the s == 0
+    # transpose group (banded matrices have ONLY that group, so this
+    # halves the dynamic RMW count — the SpMM bottleneck)
+    if acc0 is not None:
+        out = acc0 + jnp.pad(accr, ((1, 0), (0, 0)))
+        if b is None:
+            y_ref[pl.ds(base - 1, SUBLANES + 1), :] += out
+        else:
+            y_ref[b, pl.ds(base - 1, SUBLANES + 1), :] += out
+    elif b is None:
         y_ref[pl.ds(base, SUBLANES), :] += accr
     else:
         y_ref[b, pl.ds(base, SUBLANES), :] += accr

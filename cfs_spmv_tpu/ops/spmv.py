@@ -78,6 +78,12 @@ class Bell2Device:
     windows_contig: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    sparse_stream: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    has_work: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
     dia_vals: Any = None  # signed-offset dense-diagonal stream (general)
     dia_offsets: tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -128,6 +134,8 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         max_windows=plan.max_windows,
         windows_shared=plan.windows_shared,
         windows_contig=plan.windows_contig,
+        sparse_stream=plan.sparse_stream,
+        has_work=plan.nnz > 0,
         dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
         dia_offsets=() if plan.dia is None else plan.dia.offsets,
     )
@@ -171,8 +179,7 @@ def pad_x(x: jax.Array, x_rows: int) -> jax.Array:
 def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
     """y = A @ x for one BELL2 stream, unpadded in/out."""
     x2d = pad_x(x, dev.x_rows)
-    tiles = bell2_spmv_tiles(
-        dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
+    kw = dict(
         num_row_tiles=dev.num_row_tiles,
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
@@ -182,6 +189,21 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         shared=dev.windows_shared,
         contig=dev.windows_contig,
     )
+    if not dev.has_work:
+        # dia-only (or empty) plan: nothing to stream at all
+        tiles = jnp.zeros((dev.num_row_tiles, LANES), x2d.dtype)
+    elif dev.sparse_stream:
+        # post-peel residual: only tiles with chunks are visited
+        BT = dev.tiles_per_block
+        TP = -(-dev.num_row_tiles // BT) * BT
+        tiles = bell2_spmv_tiles_accum(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
+            jnp.zeros((TP, LANES), x2d.dtype), **kw
+        )[: dev.num_row_tiles]
+    else:
+        tiles = bell2_spmv_tiles(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x2d, **kw
+        )
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles(
             dev.dia_vals, x2d, tiles, offsets=dev.dia_offsets,
@@ -194,8 +216,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
     """Y = A @ X, X: (ncols, B)."""
     B = x.shape[1]
     x3d = jnp.stack([pad_x(x[:, b], dev.x_rows) for b in range(B)])
-    tiles = bell2_spmm_tiles(
-        dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
+    kw = dict(
         num_row_tiles=dev.num_row_tiles,
         chunks_per_step=dev.chunks_per_step,
         tiles_per_block=dev.tiles_per_block,
@@ -205,6 +226,19 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         shared=dev.windows_shared,
         contig=dev.windows_contig,
     )
+    if not dev.has_work:
+        tiles = jnp.zeros((B, dev.num_row_tiles, LANES), x3d.dtype)
+    elif dev.sparse_stream:
+        BT = dev.tiles_per_block
+        TP = -(-dev.num_row_tiles // BT) * BT
+        tiles = bell2_spmm_tiles_accum(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
+            jnp.zeros((B, TP, LANES), x3d.dtype), **kw
+        )[:, : dev.num_row_tiles]
+    else:
+        tiles = bell2_spmm_tiles(
+            dev.vals, dev.packed, dev.meta, dev.step_block, x3d, **kw
+        )
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles_mm(
             dev.dia_vals, x3d, tiles, offsets=dev.dia_offsets,
