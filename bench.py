@@ -330,6 +330,11 @@ def main():
                 unit="nnz/s",
                 vs_baseline=round(value / target, 4),
                 worst=worst["name"],
+                # preprocessing seconds tracked round-over-round
+                # (reference reports it first-class, bench:145-148)
+                preproc_s=round(
+                    sum(r["preproc_s"] for r in results), 1
+                ),
             )
         ),
         flush=True,

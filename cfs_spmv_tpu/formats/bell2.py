@@ -49,6 +49,7 @@ from .csr import CSR
 __all__ = [
     "Bell2Plan",
     "build_bell2_plan",
+    "build_bell2_from_arrays",
     "build_general_plan",
     "auto_geometry",
     "LANES",
@@ -158,9 +159,12 @@ def auto_geometry(nrows: int, nnz: int) -> tuple[int, int]:
     else:
         K = 8
     # output block: whole y when it fits VMEM comfortably (BT tiles x
-    # 512 B; 8192 tiles = 4 MB block = 1M rows). A single block removes
-    # block-boundary far entries for the symmetric paired stream.
-    BT = min(-(-T // 8) * 8, 8192)
+    # 512 B = 1 MB at the 2048 cap = 262k rows). A single block removes
+    # block-boundary far entries for the symmetric paired stream. The
+    # cap is set by the SpMM path: its output block is B x BT x 512 B
+    # double-buffered, and BT 8192 at B=8 overflowed VMEM in compile on
+    # the 943k-row audikw-scale proxy.
+    BT = min(-(-T // 8) * 8, 2048)
     return K, BT
 
 
@@ -509,7 +513,38 @@ def build_bell2_plan(
     without nonzeros get no chunks at all, so the kernel must run with its
     output aliased to an already-initialized y (the far-stream mode).
     """
-    n, m, nnz = csr.nrows, csr.ncols, csr.nnz
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    return build_bell2_from_arrays(
+        csr.nrows, csr.ncols, row, csr.indices.astype(np.int64),
+        np.asarray(csr.data), dtype=dtype,
+        chunks_per_step=chunks_per_step, tiles_per_block=tiles_per_block,
+        diag_threshold=diag_threshold, cover_all_tiles=cover_all_tiles,
+        allow_runs=allow_runs,
+    )
+
+
+def build_bell2_from_arrays(
+    n: int,
+    m: int,
+    row: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray,
+    *,
+    dtype=np.float32,
+    chunks_per_step: int | None = None,
+    tiles_per_block: int | None = None,
+    diag_threshold: int = DIAG_THRESHOLD,
+    cover_all_tiles: bool = True,
+    allow_runs: bool = True,
+) -> Bell2Plan:
+    """Plan construction straight from COO-like triples, in ANY entry
+    order and with duplicates forbidden — the packer performs its own
+    (tile, seg, q) sort, so callers holding raw triples (e.g. the
+    symmetric far stream's mirrored concatenation) skip a full
+    canonicalize sort + CSR build over the whole entry set.
+    """
+    nnz = len(row)
     auto_k, auto_bt = auto_geometry(n, nnz)
     K = chunks_per_step or auto_k
     BT = tiles_per_block or auto_bt
@@ -521,10 +556,9 @@ def build_bell2_plan(
             n, m, T, x_rows, dtype, K, BT, cover=cover_all_tiles
         )
 
-    rowlen = np.diff(csr.indptr)
-    row = np.repeat(np.arange(n, dtype=np.int64), rowlen)
-    col = csr.indices.astype(np.int64)
-    val = np.asarray(csr.data)
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    val = np.asarray(val)
 
     tile = row >> 7
     lane = row & 127
@@ -654,7 +688,7 @@ def build_bell2_plan(
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
     ec = remap[e_chunk]
-    vals_arr[ec, e_sub, lane] = val.astype(dtype)
+    vals_arr[ec, e_sub, lane] = np.asarray(val, dtype)
     # one-sided streams need only q (7 bits) + r2 (3 bits): int16 halves
     # the index traffic (the paired symmetric layout needs 18 bits and
     # stays int32). Both scatters hit unique slots (each entry owns its

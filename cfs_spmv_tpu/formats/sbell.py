@@ -184,14 +184,18 @@ def build_sbell_plan(
     far_plan = None
     fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
     if len(fr0):
-        far_coo = COO(
+        # mirrored triples go straight to the planner (it sorts by
+        # (tile, seg, q) itself) — skips a full canonicalize sort + CSR
+        # build over 2x the far entries, the largest preprocessing pass
+        # on scattered matrices
+        from .bell2 import build_bell2_from_arrays
+
+        far_plan = build_bell2_from_arrays(
             n, n,
-            np.concatenate([fr0, fc0]).astype(np.int32),
-            np.concatenate([fc0, fr0]).astype(np.int32),
-            np.concatenate([fv0, fv0]).astype(dtype),
-        )
-        far_plan = build_bell2_plan(
-            CSR.from_coo(far_coo), dtype=dtype,
+            np.concatenate([fr0, fc0]),
+            np.concatenate([fc0, fr0]),
+            np.concatenate([fv0, fv0]),
+            dtype=dtype,
             chunks_per_step=min(K, 32), tiles_per_block=BT,
             cover_all_tiles=False,
         )
@@ -256,7 +260,7 @@ def build_sbell_plan(
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
     ec = remap[e_chunk]
-    vals_arr[ec, e_sub, lane_r] = val.astype(dtype)
+    vals_arr[ec, e_sub, lane_r] = np.asarray(val, dtype)
     q_field = np.zeros((C, SUBLANES, LANES), np.int32)
     q_field[ec, e_sub, lane_r] = lane_c
     # positions with no transpose entry carry the window SENTINEL 7

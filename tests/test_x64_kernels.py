@@ -88,6 +88,20 @@ def test_bell2_apply_trace_is_32bit():
     _assert_no_64bit(jax.make_jaxpr(ops.bell2_apply)(dev, x))
 
 
+def test_general_dia_trace_is_32bit():
+    """The signed-offset (general/mirrored) SDIA path must trace 32-bit
+    too — its offsets are Python ints in pad widths and slab indices."""
+    from cfs_spmv_tpu.formats.bell2 import build_general_plan
+    from tests.test_sdia_gen import _banded_general
+
+    csr = _banded_general(n=1200)
+    plan = build_general_plan(csr, dtype=np.float32)
+    assert plan.dia is not None
+    dev = ops.to_device(plan)
+    x = jnp.ones((csr.ncols,), jnp.float32)
+    _assert_no_64bit(jax.make_jaxpr(ops.bell2_apply)(dev, x))
+
+
 def test_empty_paired_placeholders_stay_32bit():
     """f64[0] placeholders would re-enable x64 tracing via the dtype
     gate in ``_no_x64`` — they must upload as 32-bit."""
