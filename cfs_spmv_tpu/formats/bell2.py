@@ -159,12 +159,15 @@ def auto_geometry(nrows: int, nnz: int) -> tuple[int, int]:
     else:
         K = 8
     # output block: whole y when it fits VMEM comfortably (BT tiles x
-    # 512 B = 1 MB at the 2048 cap = 262k rows). A single block removes
-    # block-boundary far entries for the symmetric paired stream. The
-    # cap is set by the SpMM path: its output block is B x BT x 512 B
-    # double-buffered, and BT 8192 at B=8 overflowed VMEM in compile on
-    # the 943k-row audikw-scale proxy.
-    BT = min(-(-T // 8) * 8, 2048)
+    # 512 B = 256 KB at the 512 cap = 65k rows per block). A single
+    # block removes block-boundary far entries for the symmetric paired
+    # stream. The cap is set by the SpMM kernels: their (B, BT, 128)
+    # blocks crash the TPU compiler when a block exceeds ~3 MB at
+    # nontrivial grid sizes (bisected: BT 512 compiles at every grid/x
+    # size tried incl. G=4096, BT 1024 fails from G=32 up, with or
+    # without io-aliasing); B=8 x 512 tiles x 512 B = 2 MB stays safe,
+    # and larger SpMV blocks measured no faster.
+    BT = min(-(-T // 8) * 8, 512)
     return K, BT
 
 

@@ -107,6 +107,23 @@ class SparseMatrix:
     def csr(self) -> CSR:
         return self._csr
 
+    def diagonal(self) -> np.ndarray:
+        """Main diagonal as a dense vector (e.g. the Jacobi
+        preconditioner for ``solvers.cg(diag_precond=...)``)."""
+        if self._csr.symmetric:
+            _, diag, _ = self._csr.split_triangle()
+            return diag
+        n = min(self.nrows, self.ncols)
+        diag = np.zeros(n, self._csr.data.dtype)
+        indptr, indices, data = (
+            self._csr.indptr, self._csr.indices, self._csr.data,
+        )
+        rowlen = np.diff(indptr[: n + 1])
+        rows = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+        mask = indices[: indptr[n]] == rows
+        diag[rows[mask]] = data[: indptr[n]][mask]
+        return diag
+
     @property
     def tuned(self) -> TunedMatrix | None:
         return self._tuned
