@@ -44,6 +44,11 @@ BLOCK_ROWS = SUBLANES * LANES  # 1024 rows per grid step
 __all__ = ["sdia_sym_tiles", "sdia_sym_tiles_mm", "sdia_gen_tiles",
            "sdia_gen_tiles_mm", "BLOCK_ROWS"]
 
+#: rows per sdia_gen grid segment: keeps each call's whole-VMEM x slice
+#: (rows/128 tiles x 512 B) near 48 MB — the TPU compiler crashes when a
+#: single VMEM buffer passes ~64 MB (bisected on v5e)
+_GEN_SEG_ROWS = 12_000_000
+
 
 def _group_by_sublane_shift(offsets):
     groups: dict[int, list[tuple[int, int]]] = {}
@@ -266,33 +271,51 @@ def sdia_gen_tiles(vals, x2d, y_tiles, *, offsets, interpret=False):
         x2d, ((SPB, max(0, rows - SPB - x2d.shape[0])), (0, 0))
     )[:rows]
     yp = jnp.pad(y_tiles, ((0, max(0, body_rows - T)), (0, 0)))[:body_rows]
-    out = pl.pallas_call(
-        functools.partial(
-            _sdia_gen_kernel, offsets=offsets, SPB=SPB, dtype=x2d.dtype,
-            RB=RB,
-        ),
-        grid=(R // RB,),
-        in_specs=[
-            pl.BlockSpec(
-                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+
+    # the whole-VMEM x operand tops out near 60 MB (the TPU compiler
+    # crashes beyond ~64 MB single buffers); past ~12M rows the grid is
+    # segmented so each call sees only its x slice + offset halo
+    seg_R = max(RB, (_GEN_SEG_ROWS // (BLOCK_ROWS * RB)) * RB)
+    outs = []
+    for r0 in range(0, R, seg_R):
+        r1 = min(r0 + seg_R, R)
+        xs = jax.lax.dynamic_slice_in_dim(
+            xp, r0 * SUBLANES, (r1 - r0) * SUBLANES + SPB + SPF, axis=0
+        )
+        ys = jax.lax.dynamic_slice_in_dim(
+            yp, r0 * SUBLANES, (r1 - r0) * SUBLANES, axis=0
+        )
+        outs.append(pl.pallas_call(
+            functools.partial(
+                _sdia_gen_kernel, offsets=offsets, SPB=SPB,
+                dtype=x2d.dtype, RB=RB,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
+            grid=((r1 - r0) // RB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (RB, D, SUBLANES, LANES),
+                    _i32map(lambda g: (g, 0, 0, 0)),
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (RB * SUBLANES, LANES), _i32map(lambda g: (g, 0))
+                ),
+            ],
+            out_specs=pl.BlockSpec(
                 (RB * SUBLANES, LANES), _i32map(lambda g: (g, 0))
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (RB * SUBLANES, LANES), _i32map(lambda g: (g, 0))
-        ),
-        out_shape=jax.ShapeDtypeStruct((body_rows, LANES), x2d.dtype),
-        input_output_aliases={2: 0},
-        cost_estimate=pl.CostEstimate(
-            flops=2 * vals.size,
-            bytes_accessed=vals.size * vals.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(vals, xp, yp)
+            out_shape=jax.ShapeDtypeStruct(
+                ((r1 - r0) * SUBLANES, LANES), x2d.dtype
+            ),
+            input_output_aliases={2: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=2 * vals[r0:r1].size,
+                bytes_accessed=vals[r0:r1].size * vals.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(vals[r0:r1], xs, ys))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out[:T]
 
 
@@ -318,28 +341,46 @@ def sdia_gen_tiles_mm(vals, x3d, y_tiles, *, offsets, interpret=False):
     yp = jnp.pad(
         y_tiles, ((0, 0), (0, max(0, body_rows - T)), (0, 0))
     )[:, :body_rows]
-    out = pl.pallas_call(
-        functools.partial(
-            _sdia_gen_kernel, offsets=offsets, SPB=SPB, dtype=x3d.dtype,
-            RB=RB, n_rhs=B,
-        ),
-        grid=(R // RB,),
-        in_specs=[
-            pl.BlockSpec(
-                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+
+    # x slice is (B, rows, 128): scale the grid segmentation down by B
+    # so each call's x buffer stays under the ~64 MB VMEM-buffer cap
+    seg_R = max(RB, (_GEN_SEG_ROWS // B // (BLOCK_ROWS * RB)) * RB)
+    outs = []
+    for r0 in range(0, R, seg_R):
+        r1 = min(r0 + seg_R, R)
+        xs = jax.lax.dynamic_slice_in_dim(
+            xp, r0 * SUBLANES, (r1 - r0) * SUBLANES + SPB + SPF, axis=1
+        )
+        ys = jax.lax.dynamic_slice_in_dim(
+            yp, r0 * SUBLANES, (r1 - r0) * SUBLANES, axis=1
+        )
+        outs.append(pl.pallas_call(
+            functools.partial(
+                _sdia_gen_kernel, offsets=offsets, SPB=SPB,
+                dtype=x3d.dtype, RB=RB, n_rhs=B,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
+            grid=((r1 - r0) // RB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (RB, D, SUBLANES, LANES),
+                    _i32map(lambda g: (g, 0, 0, 0)),
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (B, RB * SUBLANES, LANES),
+                    _i32map(lambda g: (0, g, 0)),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
                 (B, RB * SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (B, RB * SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, body_rows, LANES), x3d.dtype),
-        input_output_aliases={2: 0},
-        interpret=interpret,
-    )(vals, xp, yp)
+            out_shape=jax.ShapeDtypeStruct(
+                (B, (r1 - r0) * SUBLANES, LANES), x3d.dtype
+            ),
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(vals[r0:r1], xs, ys))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :T]
 
 

@@ -85,6 +85,39 @@ def test_general_tune_uses_dia():
     )
 
 
+def test_gen_grid_segmentation_matches(monkeypatch):
+    """The grid segmentation (x-slice + halo per call, used past the
+    ~64MB whole-x VMEM cap) must produce identical results to the
+    single-call path."""
+    import cfs_spmv_tpu.ops.sdia_kernel as sk
+
+    csr = _banded_general(n=4000)
+    from cfs_spmv_tpu.formats.bell2 import build_general_plan
+    from cfs_spmv_tpu.ops import spmv as ops
+
+    plan = build_general_plan(csr, dtype=np.float64)
+    assert plan.dia is not None
+    dev = ops.to_device(plan)
+    x = random_x(csr.ncols, np.float64)
+    y1 = np.asarray(ops.bell2_apply(dev, x))
+    monkeypatch.setattr(sk, "_GEN_SEG_ROWS", 1024)  # force many segments
+    sk.sdia_gen_tiles._clear_cache()
+    sk.sdia_gen_tiles_mm._clear_cache()
+    y2 = np.asarray(ops.bell2_apply(dev, x))
+    np.testing.assert_allclose(y2, y1, rtol=1e-12, atol=1e-12)
+    X = np.random.default_rng(5).uniform(1, 2, (csr.ncols, 2))
+    Y = np.asarray(ops.bell2_apply_mm(dev, X))
+    for b in range(2):
+        assert allclose_spmv(
+            Y[:, b], csr.spmv_host(X[:, b]), np.float64,
+            nnz_per_row=csr.nnz / csr.nrows,
+            scale=csr.spmv_host(X[:, b], absolute=True),
+        )
+    monkeypatch.undo()
+    sk.sdia_gen_tiles._clear_cache()
+    sk.sdia_gen_tiles_mm._clear_cache()
+
+
 @pytest.mark.parametrize("mirror", [False, True])
 def test_sym_mirror_matches(mirror):
     """Mirrored (blocked-y) symmetric diagonals must equal the resident
