@@ -104,6 +104,17 @@ class Bell2Plan:
     #: than 8 row loads). The windows table is still materialized, so
     #: such plans also run correctly under the non-contig kernels.
     windows_contig: bool = False
+    #: relaxed packing (scattered structure): ``window_depth`` > 8 widens
+    #: the contig window range to 16/32 segments (r2 grows to 5 bits,
+    #: packed bits 7-11; the kernel stacks depth/8 slabs and selects);
+    #: ``lane_rot`` > 1 lets an entry of row lane l occupy any lane of
+    #: the coset {l, l+128/rot, ...} (rc in packed bits 12-13; the
+    #: kernel keeps one accumulator per rotation group and rolls each
+    #: back before the row update). Both trade per-chunk compute for
+    #: fewer chunks — chosen by the packing-floor model in
+    #: ``_choose_slot_packing``.
+    window_depth: int = 8
+    lane_rot: int = 1
     #: sparse accumulating stream (built with cover_all_tiles=False):
     #: blocks without chunks are never visited, so the kernel must run
     #: in accumulate mode against an initialized y (far residuals and
@@ -344,7 +355,7 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
 
 
 def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
-                        max_windows=SUBLANES, group=1, contig=False):
+                        max_windows=SUBLANES, group=1, contig=False, rot=1):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Returns pack_chunks-shaped outputs in
@@ -361,13 +372,14 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
     order = np.argsort((tile * S + seg) * 128 + q, kind="stable")
     ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
     packed = _native.pack_slots(
-        ts, lrs, sgs, qs, max_windows, group=group, contig=contig
+        ts, lrs, sgs, qs, max_windows, group=group, contig=contig, rot=rot
     )
     if packed is None:
         packed = _native.pack_slots_py(
-            ts, lrs, sgs, qs, max_windows, group=group, contig=contig
+            ts, lrs, sgs, qs, max_windows, group=group, contig=contig,
+            rot=rot,
         )
-    e_chunk_s, e_sub_s, e_r2_s, chunk_tiles, windows, nwin = packed
+    e_chunk_s, e_sub_s, e_r2_s, e_rc_s, chunk_tiles, windows, nwin = packed
     if group > 1:
         # expand superchunk outputs to chunk granularity (windows
         # replicated so every chunk's meta row is self-describing)
@@ -379,9 +391,11 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
     e_chunk = np.empty(len(order), np.int64)
     e_sub = np.empty(len(order), np.int64)
     e_r2 = np.empty(len(order), np.int64)
+    e_rc = np.empty(len(order), np.int64)
     e_chunk[order] = e_chunk_s
     e_sub[order] = e_sub_s
     e_r2[order] = e_r2_s
+    e_rc[order] = e_rc_s
 
     # cover empty tiles (same contract as pack_chunks)
     present = np.zeros(T, bool)
@@ -403,7 +417,7 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
         chunk_tiles = chunk_tiles[corder]
         windows = windows[corder]
         nwin = nwin[corder]
-    return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
+    return e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin
 
 
 #: one-sided kernel cost model (v5e cycles/chunk), measured round 2:
@@ -413,46 +427,117 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
 #: reproducible.
 _CYC_CONTIG = 9.3
 _CYC_DISTINCT = 11.4
+#: relaxed-packing datapath increments (v5e estimates, to be re-measured
+#: on hardware): each extra (8,128) slab in a deep window stack costs one
+#: more dynamic load + gather + select; each extra lane-rotation group
+#: costs one compare-select per chunk plus an amortized roll per run.
+_CYC_SLAB = 1.8
+_CYC_ROT = 1.0
 
 
-def _lane_floor_chunks(tile, lane, T):
-    """The packing lower bound: sum over tiles of ceil(max per-lane row
-    multiplicity / 8) — no layout with lane-pinned rows can do better."""
-    key = tile * LANES + lane
+def _cyc_per_chunk(depth, rot):
+    return (
+        _CYC_CONTIG
+        + _CYC_SLAB * (depth // SUBLANES - 1)
+        + _CYC_ROT * (rot - 1)
+    )
+
+
+def _lane_floor_chunks(tile, lane, T, rot=1):
+    """The packing lower bound: sum over tiles of ceil(max per-lane-coset
+    row multiplicity / (8*rot)) — with ``rot`` rotation groups an entry
+    of row lane l may occupy any of the rot lanes {l, l+128/rot, ...},
+    so the binding multiplicity is per coset and each chunk offers
+    8*rot slots to it."""
+    stride = LANES // rot
+    key = tile * stride + lane % stride
     u, c = np.unique(key, return_counts=True)
     per_tile_max = np.zeros(T, np.int64)
-    np.maximum.at(per_tile_max, u // LANES, c)
-    return int(np.ceil(per_tile_max / SUBLANES).sum())
+    np.maximum.at(per_tile_max, u // stride, c)
+    return int(np.ceil(per_tile_max / (SUBLANES * rot)).sum())
+
+
+def _tile_size_floor(tile, T):
+    """Chunk count lower bound from capacity alone: ceil(per-tile
+    entries / 1024) summed (a chunk holds 8x128 slots)."""
+    cnt = np.bincount(tile, minlength=T)
+    return int(np.ceil(cnt / (SUBLANES * LANES)).sum())
 
 
 def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
-                         allow_runs, max_windows=SUBLANES):
-    """Slot-pack with contiguous-range windows; fall back to free
-    8-window tables only when the contig pack lands far off the
-    lane-conflict floor (rare — entries arrive seg-ascending, so chunks
-    take consecutive segments either way).
+                         allow_runs, max_windows=SUBLANES,
+                         allow_relax=True):
+    """Slot-pack with contiguous-range windows, relaxing the layout when
+    the baseline pack sits far from the capacity floor:
 
-    Round-2 v5e ablations: the per-chunk datapath dominates; superchunk
-    window sharing (group > 1) never reduced chunks (the lane-conflict
-    floor binds first) and cost fill, so groups are no longer tried.
-    Contiguous ranges make the x-window stack ONE dynamic slab load.
-    Returns (packed, contig, run_len)."""
+    - chunks >> lane-conflict floor: the 8-segment window range binds →
+      try deep windows (depth 16/32; r2 grows to 5 bits, the kernel
+      selects among depth/8 slabs);
+    - lane floor >> size floor: dense rows force chunks the other lanes
+      cannot fill → try lane rotation (rot 2/4; entries spread over a
+      lane coset, the kernel keeps per-group accumulators and rolls
+      them back).
+
+    Candidates are ranked by chunks x modeled cycles/chunk; free
+    8-window tables remain the fallback when even the relaxed contig
+    packs land far off the floor. Round-2 v5e ablations: superchunk
+    window sharing (group > 1) never reduced chunks and cost fill, so
+    groups are not tried. Returns (packed, contig, run_len, depth, rot).
+    """
     pk_c = _pack_slots_entries(
         tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
         max_windows=max_windows, contig=True,
     )
-    contig = True
-    pk = pk_c
-    floor = _lane_floor_chunks(tile, lane, T)
-    if len(pk_c[3]) * _CYC_CONTIG > max(floor, 1) * _CYC_DISTINCT:
+    best = (pk_c, True, SUBLANES, 1)
+    best_cost = len(pk_c[4]) * _cyc_per_chunk(SUBLANES, 1)
+    floor1 = max(_lane_floor_chunks(tile, lane, T), 1)
+    size_floor = max(_tile_size_floor(tile, T), 1)
+
+    # lane rotation: pick the group count minimizing floor x cycles
+    rot = 1
+    if allow_relax and floor1 > 1.15 * size_floor:
+        rot_score = floor1 * _cyc_per_chunk(SUBLANES, 1)
+        for r in (2, 4):
+            s = (
+                max(_lane_floor_chunks(tile, lane, T, rot=r), size_floor)
+                * _cyc_per_chunk(SUBLANES, r)
+            )
+            if s < rot_score:
+                rot, rot_score = r, s
+
+    # deep windows: only worth packing when the baseline pack is
+    # window-bound (well above its own lane floor)
+    depths = []
+    if allow_relax and len(pk_c[4]) > 1.15 * floor1:
+        depths = [2 * SUBLANES, 4 * SUBLANES]
+
+    cands = [(d, 1) for d in depths]
+    if rot > 1:
+        cands.append((SUBLANES, rot))
+        cands.extend((d, rot) for d in depths)
+    for d, r in cands:
+        # the relaxed floor bounds what this candidate could achieve;
+        # skip the (host-costly) pack when even that loses
+        fl = max(_lane_floor_chunks(tile, lane, T, rot=r), size_floor)
+        if fl * _cyc_per_chunk(d, r) >= best_cost:
+            continue
+        pk = _pack_slots_entries(
+            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+            max_windows=d, contig=True, rot=r,
+        )
+        cost = len(pk[4]) * _cyc_per_chunk(d, r)
+        if cost < best_cost:
+            best, best_cost = (pk, True, d, r), cost
+
+    if best_cost > floor1 * _CYC_DISTINCT:
         pk_d = _pack_slots_entries(
             tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
             max_windows=max_windows,
         )
-        if len(pk_d[3]) * _CYC_DISTINCT < len(pk_c[3]) * _CYC_CONTIG:
-            pk, contig = pk_d, False
+        if len(pk_d[4]) * _CYC_DISTINCT < best_cost:
+            best = (pk_d, False, SUBLANES, 1)
     run_len = 4 if allow_runs and K % 4 == 0 else 1
-    return pk, contig, run_len
+    return best[0], best[1], run_len, best[2], best[3]
 
 
 def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
@@ -509,6 +594,7 @@ def build_bell2_plan(
     diag_threshold: int = DIAG_THRESHOLD,
     cover_all_tiles: bool = True,
     allow_runs: bool = True,
+    allow_relax: bool = True,
 ) -> Bell2Plan:
     """Vectorized plan construction (O(nnz log nnz) + O(#subrows)).
 
@@ -523,7 +609,7 @@ def build_bell2_plan(
         np.asarray(csr.data), dtype=dtype,
         chunks_per_step=chunks_per_step, tiles_per_block=tiles_per_block,
         diag_threshold=diag_threshold, cover_all_tiles=cover_all_tiles,
-        allow_runs=allow_runs,
+        allow_runs=allow_runs, allow_relax=allow_relax,
     )
 
 
@@ -540,6 +626,7 @@ def build_bell2_from_arrays(
     diag_threshold: int = DIAG_THRESHOLD,
     cover_all_tiles: bool = True,
     allow_runs: bool = True,
+    allow_relax: bool = True,
 ) -> Bell2Plan:
     """Plan construction straight from COO-like triples, in ANY entry
     order and with duplicates forbidden — the packer performs its own
@@ -610,20 +697,24 @@ def build_bell2_from_arrays(
     slot_windows = SUBLANES
     packed_alt = None
     contig = False
+    depth, rot = SUBLANES, 1
     if slot_ok and avg_per_ts < 24:
-        packed_alt, contig, run_pick = _choose_slot_packing(
+        packed_alt, contig, run_pick, depth, rot = _choose_slot_packing(
             tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
             allow_runs=allow_runs, max_windows=slot_windows,
+            allow_relax=allow_relax,
         )
     run_len = 1
     wmax = SUBLANES
     shared_windows = False
+    e_rc = None
     if packed_alt is not None:
         info(
-            "bell2: slot packing (%.1f nnz per tile-seg, contig=%s)",
-            avg_per_ts, contig,
+            "bell2: slot packing (%.1f nnz per tile-seg, contig=%s, "
+            "depth=%d, rot=%d)",
+            avg_per_ts, contig, depth, rot,
         )
-        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = packed_alt
+        e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin = packed_alt
         if allow_runs:
             wmax = slot_windows  # static; pinned to 8 for SPMD plans
         if run_pick > 1:
@@ -643,17 +734,22 @@ def build_bell2_from_arrays(
         if pad0 > 1.7 and slot_ok:
             # mispredicted: retry with the slot packer and keep the
             # smaller plan
-            alt, contig_a, run_pick = _choose_slot_packing(
+            alt, contig_a, run_pick, depth_a, rot_a = _choose_slot_packing(
                 tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
                 allow_runs=allow_runs, max_windows=slot_windows,
+                allow_relax=allow_relax,
             )
-            if alt is not None and len(alt[3]) < len(chunk_tiles):
+            if alt is not None and len(alt[4]) < len(chunk_tiles):
                 info(
-                    "bell2: slot packing %d -> %d chunks (contig=%s)",
-                    len(chunk_tiles), len(alt[3]), contig_a,
+                    "bell2: slot packing %d -> %d chunks (contig=%s, "
+                    "depth=%d, rot=%d)",
+                    len(chunk_tiles), len(alt[4]), contig_a, depth_a,
+                    rot_a,
                 )
-                e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = alt
+                (e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows,
+                 nwin) = alt
                 contig = contig_a
+                depth, rot = depth_a, rot_a
                 if allow_runs:
                     wmax = slot_windows
                 if run_pick > 1:
@@ -661,15 +757,19 @@ def build_bell2_from_arrays(
                     (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
                         e_chunk, chunk_tiles, windows, nwin, run_len
                     )
+            else:
+                depth, rot = SUBLANES, 1
 
-    if contig:
-        # the contig kernel loads x rows [w0, w0+8); enlarge the gather
-        # space to >= 8 rows and clamp w0 so the slab stays in bounds
-        # (r2 shifts up by the same amount — still < 8 since the top
-        # real segment is x_rows-1)
-        x_rows = max(x_rows, SUBLANES)
+    if not contig:
+        depth, rot = SUBLANES, 1
+    else:
+        # the contig kernel loads x rows [w0, w0+depth); enlarge the
+        # gather space to >= depth rows and clamp w0 so the slab stays
+        # in bounds (r2 shifts up by the same amount — still < depth
+        # since the top real segment is x_rows-1)
+        x_rows = max(x_rows, depth)
         w0 = windows[:, 0].astype(np.int64)
-        delta = np.maximum(0, w0 - (x_rows - SUBLANES))
+        delta = np.maximum(0, w0 - (x_rows - depth))
         if delta.any():
             e_r2 = e_r2 + delta[e_chunk]
             base = (w0 - delta).astype(np.int32)
@@ -691,15 +791,25 @@ def build_bell2_from_arrays(
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
     ec = remap[e_chunk]
-    vals_arr[ec, e_sub, lane] = np.asarray(val, dtype)
-    # one-sided streams need only q (7 bits) + r2 (3 bits): int16 halves
-    # the index traffic (the paired symmetric layout needs 18 bits and
-    # stays int32). Both scatters hit unique slots (each entry owns its
-    # lane; gather lanes are conflict-free within a subrow), so building
-    # the merged field in place is exact and skips two O(C*1024) int32
-    # temporaries — the dominant preprocessing pass on scattered plans.
+    # with lane rotation the entry occupies its PLACED lane (its coset
+    # lane chosen by the packer); rc rides bits 12-13 of the packed
+    # field so the kernel can mask per rotation group
+    lane_p = (
+        lane if rot == 1 else (lane + (LANES // rot) * e_rc) & 127
+    )
+    vals_arr[ec, e_sub, lane_p] = np.asarray(val, dtype)
+    # one-sided streams need only q (7 bits) + r2 (<= 5 bits) + rc
+    # (<= 2 bits): int16 halves the index traffic (the paired symmetric
+    # layout needs 18 bits and stays int32). All scatters hit unique
+    # slots (each entry owns its placed lane; gather lanes carry one
+    # window index per subrow), so building the merged field in place is
+    # exact and skips two O(C*1024) int32 temporaries — the dominant
+    # preprocessing pass on scattered plans.
     packed = np.zeros((C, SUBLANES, LANES), np.int16)
-    packed[ec, e_sub, lane] = q.astype(np.int16)
+    if rot == 1:
+        packed[ec, e_sub, lane_p] = q.astype(np.int16)
+    else:
+        packed[ec, e_sub, lane_p] = (q | (e_rc << 12)).astype(np.int16)
     packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
 
     plan = Bell2Plan(
@@ -708,7 +818,8 @@ def build_bell2_from_arrays(
         packed.reshape(C * SUBLANES, LANES),
         meta, step_block,
         T, x_rows, K, BT, run_len, wmax, shared_windows, contig,
-        not cover_all_tiles,
+        window_depth=depth, lane_rot=rot,
+        sparse_stream=not cover_all_tiles,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",

@@ -128,6 +128,7 @@ def build_sbell_plan(
     dia_fill: float = SDIA_FILL,
     dia_min_count: int = SDIA_MIN_COUNT,
     dia_mirror: bool | None = None,
+    allow_relax: bool = True,
 ) -> SBellPlan:
     """Build the paired symmetric plan from lower-triangle CSR storage.
 
@@ -197,7 +198,7 @@ def build_sbell_plan(
             np.concatenate([fv0, fv0]),
             dtype=dtype,
             chunks_per_step=min(K, 32), tiles_per_block=BT,
-            cover_all_tiles=False,
+            cover_all_tiles=False, allow_relax=allow_relax,
         )
         # contig-window far plans enlarge their x gather space to >= 8
         # rows; the shared x operand must cover it (extra rows are zero)

@@ -111,8 +111,8 @@ def _load():
         lib.cfs_pack_slots.argtypes = [
             i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
-            i64p, i64p, i64p, i64p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i32p, i32p,
         ]
         _lib = lib
         return _lib
@@ -180,15 +180,20 @@ def pack_units(uw_start, uw_end, uw_seg, unit_tile, sublanes, max_windows):
 
 
 def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
-               contig=False):
+               contig=False, rot=1):
     """Conflict-aware entry-level packing (csrc cfs_pack_slots).
 
     Entries must be sorted by (tile, seg, lane_c). Returns per-entry
-    (chunk, subrow, r2) and per-chunk (tile, windows, nwin) arrays, or
-    None when native is unavailable (caller uses the Python fallback).
+    (chunk, subrow, r2, rc) and per-chunk (tile, windows, nwin) arrays,
+    or None when native is unavailable (caller uses the Python fallback).
     ``group > 1`` packs superchunks of ``group*8`` subrows sharing one
     window table (subrow spans [0, group*8); chunk arrays are per
     superchunk — the caller expands to chunk granularity).
+    ``rot > 1`` allows an entry of row lane ``l`` to occupy any lane of
+    the coset ``{l, l+128/rot, ...}`` (recorded in rc; the kernel rolls
+    each rotation group back) — dense rows stop forcing chunks the other
+    lanes cannot fill. With ``contig`` the window range may span up to 32
+    segments (r2 is 5 bits in the packed field).
     """
     lib = _load()
     if lib is None:
@@ -197,6 +202,7 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
     e_chunk = np.zeros(max(n, 1), np.int64)
     e_sub = np.zeros(max(n, 1), np.int64)
     e_r2 = np.zeros(max(n, 1), np.int64)
+    e_rc = np.zeros(max(n, 1), np.int64)
     cap = max(n, 1)
     chunk_tile = np.zeros(cap, np.int64)
     windows = np.zeros((cap, 8), np.int32)
@@ -206,29 +212,31 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
         np.ascontiguousarray(lane_r, np.int64),
         np.ascontiguousarray(seg, np.int64),
         np.ascontiguousarray(lane_c, np.int64),
-        n, max_windows, ring, group, int(contig),
-        e_chunk, e_sub, e_r2, chunk_tile, windows, nwin,
+        n, max_windows, ring, group, int(contig), rot,
+        e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
     )
     if C0 < 0:
         return None
     return (
-        e_chunk[:n], e_sub[:n], e_r2[:n],
+        e_chunk[:n], e_sub[:n], e_r2[:n], e_rc[:n],
         chunk_tile[:C0], windows[:C0], nwin[:C0],
     )
 
 
 def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
-                  contig=False):
+                  contig=False, rot=1):
     """Pure-Python mirror of cfs_pack_slots (CI fallback; slow)."""
     n = len(tile)
     nsub = 8 * group
+    stride = 128 // rot
     e_chunk = np.zeros(n, np.int64)
     e_sub = np.zeros(n, np.int64)
     e_r2 = np.zeros(n, np.int64)
+    e_rc = np.zeros(n, np.int64)
     chunk_tile: list[int] = []
     wl_by_id: dict[int, list[int]] = {}
     open_ids: list[int] = []  # oldest first
-    state: dict[int, tuple] = {}  # id -> (used_r sets, cseg dicts)
+    state: dict[int, tuple] = {}  # id -> (used lanes sets, cseg dicts)
     cur_tile = None
     for i in range(n):
         t, lr, sg, lc = int(tile[i]), int(lane_r[i]), int(seg[i]), int(lane_c[i])
@@ -247,22 +255,26 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
                 if w < 0 and len(wl) >= max_windows:
                     continue
             for s in range(nsub):
-                if lr in used_r[s]:
-                    continue
                 have = cseg[s].get(lc)
                 if have is not None and have != sg:
                     continue
-                used_r[s].add(lr)
-                cseg[s][lc] = sg
-                if contig:
-                    while len(wl) <= w:
-                        wl.append(wl[0] + len(wl))
-                elif w < 0:
-                    wl.append(sg)
-                    w = len(wl) - 1
-                e_chunk[i], e_sub[i], e_r2[i] = cid, s, w
-                placed = True
-                break
+                for rc in range(rot):
+                    pl = (lr + stride * rc) & 127
+                    if pl in used_r[s]:
+                        continue
+                    used_r[s].add(pl)
+                    cseg[s][lc] = sg
+                    if contig:
+                        while len(wl) <= min(w, 7):
+                            wl.append(wl[0] + len(wl))
+                    elif w < 0:
+                        wl.append(sg)
+                        w = len(wl) - 1
+                    e_chunk[i], e_sub[i], e_r2[i], e_rc[i] = cid, s, w, rc
+                    placed = True
+                    break
+                if placed:
+                    break
             if placed:
                 break
         if not placed:
@@ -278,7 +290,7 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
             open_ids.append(cid)
             if len(open_ids) > ring:
                 state.pop(open_ids.pop(0))
-            e_chunk[i], e_sub[i], e_r2[i] = cid, 0, 0
+            e_chunk[i], e_sub[i], e_r2[i], e_rc[i] = cid, 0, 0, 0
     C0 = len(chunk_tile)
     windows = np.zeros((max(C0, 1), 8), np.int32)
     nwin = np.zeros(max(C0, 1), np.int32)
@@ -286,6 +298,6 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
         windows[cid, : len(wl)] = wl
         nwin[cid] = len(wl)
     return (
-        e_chunk, e_sub, e_r2,
+        e_chunk, e_sub, e_r2, e_rc,
         np.asarray(chunk_tile, np.int64), windows[:C0], nwin[:C0],
     )

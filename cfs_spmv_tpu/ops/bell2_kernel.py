@@ -182,6 +182,58 @@ def _gather_x(W, pk):
     return _take_i32(G, q, axis=1)
 
 
+def _gather_x_deep(slabs, pk):
+    """Deep-window gather: r2 is 5 bits (packed bits 7-11) indexing into
+    ``len(slabs)`` stacked (8, 128) contiguous x slabs; each slab is
+    gathered by r2 mod 8 and the right slab selected by r2 div 8."""
+    r2 = (pk >> 7) & 0x1F
+    G = _take_i32(slabs[0], r2 & 7, axis=0)
+    for i in range(1, len(slabs)):
+        Gi = _take_i32(slabs[i], r2 & 7, axis=0)
+        G = jnp.where((r2 >> 3) == i, Gi, G)
+    q = pk & 0x7F
+    return _take_i32(G, q, axis=1)
+
+
+def _rot_reduce(accs, rot):
+    """Fold the per-rotation-group accumulators into one (1, 128) row
+    contribution: group j's lanes are rolled back by j * 128/rot."""
+    stride = LANES // rot
+    contrib = jnp.sum(accs[0], axis=0, keepdims=True)
+    for j in range(1, rot):
+        cj = jnp.sum(accs[j], axis=0, keepdims=True)
+        contrib = contrib + pltpu.roll(cj, LANES - stride * j, 1)
+    return contrib
+
+
+def _chunk_contribs(stack, vals_ref, pk_ref, k0, run, *, depth, rot):
+    """Accumulate one run of chunks; returns the (1, 128) contribution.
+
+    ``depth`` > 8 selects the deep-window gather (5-bit r2); ``rot`` > 1
+    splits slots into lane-rotation groups (packed bits 12-13) that are
+    summed separately and rolled back before the row update."""
+    accs = [None] * rot
+    for k in range(k0, k0 + run):
+        pk = _chunk(pk_ref, k).astype(jnp.int32)
+        if depth > 8:
+            g = _gather_x_deep(stack(k), pk)
+        else:
+            r2 = (pk >> 7) & 0x1F
+            G = _take_i32(stack(k)[0], r2 & 7, axis=0)
+            g = _take_i32(G, pk & 0x7F, axis=1)
+        vg = _chunk(vals_ref, k) * g
+        if rot == 1:
+            accs[0] = vg if accs[0] is None else accs[0] + vg
+        else:
+            rc = pk >> 12
+            for j in range(rot):
+                m = jnp.where(rc == j, vg, jnp.zeros_like(vg))
+                accs[j] = m if accs[j] is None else accs[j] + m
+    if rot == 1:
+        return jnp.sum(accs[0], axis=0, keepdims=True)
+    return _rot_reduce(accs, rot)
+
+
 def _zero_on_new_block(sb_ref, y_ref):
     g = pl.program_id(0)
 
@@ -193,8 +245,24 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
-                  run=1, wmax=SUBLANES, shared=False, contig=False):
+                  run=1, wmax=SUBLANES, shared=False, contig=False,
+                  depth=SUBLANES, rot=1):
     _zero_on_new_block(sb_ref, y_ref)
+
+    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+        def stack_deep(k):
+            return [
+                x_ref[pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES), :]
+                for i in range(depth // SUBLANES)
+            ]
+
+        for k0 in range(0, K, run):
+            contrib = _chunk_contribs(
+                stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
+                rot=rot,
+            )
+            y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
+        return
 
     def stack(k):
         if contig:
@@ -267,7 +335,8 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig"),
+                     "interpret", "run", "wmax", "shared", "contig",
+                     "depth", "rot"),
 )
 @_no_x64
 def bell2_spmv_tiles(
@@ -281,6 +350,8 @@ def bell2_spmv_tiles(
     wmax: int = SUBLANES,
     shared: bool = False,
     contig: bool = False,
+    depth: int = SUBLANES,
+    rot: int = 1,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream."""
     C = vals.shape[0] // SUBLANES
@@ -290,7 +361,7 @@ def bell2_spmv_tiles(
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
         functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax, shared=shared,
-                          contig=contig),
+                          contig=contig, depth=depth, rot=rot),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -312,7 +383,7 @@ def bell2_spmv_tiles(
 
 def _bell2_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
-    wmax=SUBLANES, shared=False, contig=False,
+    wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES, rot=1,
 ):
     g = pl.program_id(0)
 
@@ -321,6 +392,21 @@ def _bell2_accum_kernel(
     )
     def _():
         y_ref[...] = yin_ref[...]
+
+    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+        def stack_deep(k):
+            return [
+                x_ref[pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES), :]
+                for i in range(depth // SUBLANES)
+            ]
+
+        for k0 in range(0, K, run):
+            contrib = _chunk_contribs(
+                stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
+                rot=rot,
+            )
+            y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
+        return
 
     def stack(k):
         if contig:
@@ -342,7 +428,8 @@ def _bell2_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig"),
+                     "interpret", "run", "wmax", "shared", "contig",
+                     "depth", "rot"),
 )
 @_no_x64
 def bell2_spmv_tiles_accum(
@@ -356,6 +443,8 @@ def bell2_spmv_tiles_accum(
     wmax: int = SUBLANES,
     shared: bool = False,
     contig: bool = False,
+    depth: int = SUBLANES,
+    rot: int = 1,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -390,7 +479,8 @@ def bell2_spmv_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax,
-                          shared=shared, contig=contig),
+                          shared=shared, contig=contig, depth=depth,
+                          rot=rot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -407,9 +497,30 @@ def bell2_spmv_tiles_accum(
 
 def _bell2_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
-    wmax=SUBLANES, shared=False, contig=False,
+    wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES, rot=1,
 ):
     _zero_on_new_block(sb_ref, y_ref)
+
+    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+        for k0 in range(0, K, run):
+            sub = meta_ref[0, k0, 0]
+            for b in range(n_rhs):
+                def stack_deep(k, b=b):
+                    return [
+                        x_ref[
+                            b,
+                            pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES),
+                            :,
+                        ]
+                        for i in range(depth // SUBLANES)
+                    ]
+
+                contrib = _chunk_contribs(
+                    stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
+                    rot=rot,
+                )
+                y_ref[b, pl.ds(sub, 1), :] += contrib
+        return
 
     def stack(k, b):
         if contig:
@@ -433,7 +544,8 @@ def _bell2_mm_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig"),
+                     "interpret", "run", "wmax", "shared", "contig",
+                     "depth", "rot"),
 )
 @_no_x64
 def bell2_spmm_tiles(
@@ -447,6 +559,8 @@ def bell2_spmm_tiles(
     wmax: int = SUBLANES,
     shared: bool = False,
     contig: bool = False,
+    depth: int = SUBLANES,
+    rot: int = 1,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     C = vals.shape[0] // SUBLANES
@@ -457,7 +571,8 @@ def bell2_spmm_tiles(
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
-                          shared=shared, contig=contig),
+                          shared=shared, contig=contig, depth=depth,
+                          rot=rot),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -624,7 +739,8 @@ def sbell_spmm_tiles(
 
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
-    run=1, wmax=SUBLANES, shared=False, contig=False,
+    run=1, wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES,
+    rot=1,
 ):
     g = pl.program_id(0)
 
@@ -633,6 +749,27 @@ def _bell2_mm_accum_kernel(
     )
     def _():
         y_ref[...] = yin_ref[...]
+
+    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+        for k0 in range(0, K, run):
+            sub = meta_ref[0, k0, 0]
+            for b in range(n_rhs):
+                def stack_deep(k, b=b):
+                    return [
+                        x_ref[
+                            b,
+                            pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES),
+                            :,
+                        ]
+                        for i in range(depth // SUBLANES)
+                    ]
+
+                contrib = _chunk_contribs(
+                    stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
+                    rot=rot,
+                )
+                y_ref[b, pl.ds(sub, 1), :] += contrib
+        return
 
     def stack(k, b):
         if contig:
@@ -656,7 +793,8 @@ def _bell2_mm_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig"),
+                     "interpret", "run", "wmax", "shared", "contig",
+                     "depth", "rot"),
 )
 @_no_x64
 def bell2_spmm_tiles_accum(
@@ -670,6 +808,8 @@ def bell2_spmm_tiles_accum(
     wmax: int = SUBLANES,
     shared: bool = False,
     contig: bool = False,
+    depth: int = SUBLANES,
+    rot: int = 1,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
     C = vals.shape[0] // SUBLANES
@@ -702,7 +842,8 @@ def bell2_spmm_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run,
-                          wmax=wmax, shared=shared, contig=contig),
+                          wmax=wmax, shared=shared, contig=contig,
+                          depth=depth, rot=rot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -78,6 +78,14 @@ class Bell2Device:
     windows_contig: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    #: contig window range in segments (8/16/32; >8 = deep gather)
+    window_depth: int = dataclasses.field(
+        default=8, metadata=dict(static=True)
+    )
+    #: lane-rotation groups (1/2/4; >1 = rolled-back accumulators)
+    lane_rot: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
     sparse_stream: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
@@ -134,6 +142,8 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         max_windows=plan.max_windows,
         windows_shared=plan.windows_shared,
         windows_contig=plan.windows_contig,
+        window_depth=plan.window_depth,
+        lane_rot=plan.lane_rot,
         sparse_stream=plan.sparse_stream,
         has_work=plan.nnz > 0,
         dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
@@ -188,6 +198,8 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         wmax=dev.max_windows,
         shared=dev.windows_shared,
         contig=dev.windows_contig,
+        depth=dev.window_depth,
+        rot=dev.lane_rot,
     )
     if not dev.has_work:
         # dia-only (or empty) plan: nothing to stream at all
@@ -225,6 +237,8 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         wmax=dev.max_windows,
         shared=dev.windows_shared,
         contig=dev.windows_contig,
+        depth=dev.window_depth,
+        rot=dev.lane_rot,
     )
     if not dev.has_work:
         tiles = jnp.zeros((B, dev.num_row_tiles, LANES), x3d.dtype)
@@ -287,6 +301,8 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             wmax=dev.far.max_windows,
             shared=dev.far.windows_shared,
             contig=dev.far.windows_contig,
+            depth=dev.far.window_depth,
+            rot=dev.far.lane_rot,
         )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
         # mirrored (signed) offsets -> blocked-y one-sided kernel
@@ -339,6 +355,8 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             wmax=dev.far.max_windows,
             shared=dev.far.windows_shared,
             contig=dev.far.windows_contig,
+            depth=dev.far.window_depth,
+            rot=dev.far.lane_rot,
         )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
         dia_fn = (

@@ -216,7 +216,7 @@ class DistSpDMV:
                     chunks_per_step=self.K_ring, tiles_per_block=self.BT,
                     cover_all_tiles=False,
                     # run length is a static kernel arg shared SPMD-wide
-                    allow_runs=False,
+                    allow_runs=False, allow_relax=False,
                 )
         return tuple(
             _pad_bell2(per_k[k], self.dtype) for k in range(self.ndev)
@@ -274,7 +274,7 @@ class DistSpDMV:
                     build_bell2_plan(
                         shard, dtype=self.dtype,
                         chunks_per_step=self.K, tiles_per_block=self.BT,
-                        allow_runs=False,
+                        allow_runs=False, allow_relax=False,
                     )
                 )
             self._far = _pad_bell2(plans, self.dtype)
@@ -405,6 +405,9 @@ class DistSpDMV:
                     transpose_windows=2,
                     # shard SDIA is handled above with union offsets
                     dia=False,
+                    # relaxed layouts are per-plan static kernel configs;
+                    # SPMD stacks shard streams into ONE program
+                    allow_relax=False,
                 )
             )
             # far: local rows, global cols, one-sided — this shard owns
@@ -426,7 +429,7 @@ class DistSpDMV:
                     build_bell2_plan(
                         CSR.from_coo(fcoo), dtype=self.dtype,
                         chunks_per_step=self.K, tiles_per_block=BT,
-                        allow_runs=False,
+                        allow_runs=False, allow_relax=False,
                     )
                 )
             dg = np.zeros(self.shard_rows, self.dtype)

@@ -185,12 +185,17 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
 int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
                        const int64_t *seg, const int64_t *lane_c,
                        int64_t n, int64_t max_windows, int64_t ring,
-                       int64_t group, int64_t contig,
+                       int64_t group, int64_t contig, int64_t rot,
                        int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
-                       int64_t *chunk_tile, int32_t *windows,
-                       int32_t *nwin) {
-  if (max_windows > 8 || ring < 1 || ring > 256) return -1;
+                       int64_t *e_rc, int64_t *chunk_tile,
+                       int32_t *windows, int32_t *nwin) {
+  // contig window ranges may span up to 32 segments (r2 is 5 bits in the
+  // packed field); free window tables stay capped at the 8 vreg sublanes.
+  if (max_windows > (contig ? 32 : 8) || ring < 1 || ring > 256)
+    return -1;
   if (group < 1 || group > 8) return -1;
+  if (rot != 1 && rot != 2 && rot != 4) return -1;
+  const int64_t stride = 128 / rot;  // lane-coset stride
   const int64_t nsub = 8 * group;
   struct Chunk {
     int64_t id;
@@ -231,27 +236,34 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
           w = ch.nw;
         }
       }
-      for (int64_t s = 0; s < nsub; ++s) {
-        if (ch.used_r[s][lr >> 6] & (1ull << (lr & 63))) continue;
+      for (int64_t s = 0; s < nsub && !placed; ++s) {
         const int32_t have = ch.cseg[s][lc];
         if (have >= 0 && have != (int32_t)sg) continue;
-        // place
-        ch.used_r[s][lr >> 6] |= 1ull << (lr & 63);
-        ch.cseg[s][lc] = (int32_t)sg;
-        if (new_w) {
-          const int64_t nw_new = contig ? w + 1 : ch.nw + 1;
-          for (int64_t j = ch.nw; j < nw_new; ++j) {
-            ch.wseg[j] = contig ? ch.wseg[0] + j : sg;
-            windows[ch.id * 8 + j] = (int32_t)ch.wseg[j];
+        // lane rotation: an entry of row lane lr may occupy any lane of
+        // its coset {lr, lr+stride, ...}; the kernel rolls each rotation
+        // group's contribution back before the row update
+        for (int64_t rc = 0; rc < rot; ++rc) {
+          const int64_t pl = (lr + stride * rc) & 127;
+          if (ch.used_r[s][pl >> 6] & (1ull << (pl & 63))) continue;
+          // place
+          ch.used_r[s][pl >> 6] |= 1ull << (pl & 63);
+          ch.cseg[s][lc] = (int32_t)sg;
+          if (new_w) {
+            const int64_t nw_new = contig ? w + 1 : ch.nw + 1;
+            for (int64_t j = ch.nw; j < nw_new && j < 8; ++j) {
+              ch.wseg[j] = contig ? ch.wseg[0] + j : sg;
+              windows[ch.id * 8 + j] = (int32_t)ch.wseg[j];
+            }
+            ch.nw = nw_new;
+            nwin[ch.id] = (int32_t)(ch.nw < 8 ? ch.nw : 8);
           }
-          ch.nw = nw_new;
-          nwin[ch.id] = (int32_t)ch.nw;
+          e_chunk[i] = ch.id;
+          e_sub[i] = s;
+          e_r2[i] = w;
+          e_rc[i] = rc;
+          placed = true;
+          break;
         }
-        e_chunk[i] = ch.id;
-        e_sub[i] = s;
-        e_r2[i] = w;
-        placed = true;
-        break;
       }
     }
     if (!placed) {
@@ -273,6 +285,7 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
       e_chunk[i] = ch.id;
       e_sub[i] = 0;
       e_r2[i] = 0;
+      e_rc[i] = 0;
     }
   }
   delete[] open;

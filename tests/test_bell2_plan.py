@@ -17,8 +17,16 @@ from cfs_spmv_tpu.formats.sbell import build_sbell_plan
 
 
 def decode_bell2(plan):
-    """Invert the BELL2 encoding back to (row, col, val) triples."""
+    """Invert the BELL2 encoding back to (row, col, val) triples.
+
+    Understands the relaxed layouts too: 5-bit r2 against the contiguous
+    window base for deep-window plans, and rotated row lanes (rc in
+    packed bits 12-13) for lane-rotation plans."""
     K = plan.chunks_per_step
+    depth = plan.window_depth
+    rot = plan.lane_rot
+    stride = LANES // rot
+    r2_mask = 0x1F if depth > SUBLANES else 0x7
     rows, cols, vals = [], [], []
     for c in range(plan.num_chunks):
         block = plan.step_block[c // K]
@@ -28,10 +36,15 @@ def decode_bell2(plan):
                 v = plan.vals[c * SUBLANES + i, j]
                 if v == 0:
                     continue
-                q = plan.packed[c * SUBLANES + i, j] & 0x7F
-                r2 = (plan.packed[c * SUBLANES + i, q] >> 7) & 0x7
-                win = plan.meta[c, 2 + r2]
-                rows.append(tile * LANES + j)
+                pk = plan.packed[c * SUBLANES + i, j]
+                q = pk & 0x7F
+                r2 = (plan.packed[c * SUBLANES + i, q] >> 7) & r2_mask
+                if plan.windows_contig:
+                    win = plan.meta[c, 2] + r2
+                else:
+                    win = plan.meta[c, 2 + r2]
+                lane_r = (j - stride * ((pk >> 12) & 0x3)) % LANES
+                rows.append(tile * LANES + lane_r)
                 cols.append(win * LANES + q)
                 vals.append(v)
     return np.array(rows), np.array(cols), np.array(vals)

@@ -127,7 +127,19 @@ def _block_coo(n_blocks=500, b=3, nbr=6, seed=5):
 
 
 @requires_native
-def test_pack_slots_native_matches_python():
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"contig": True},
+        {"contig": True, "rot": 2},
+        {"contig": True, "rot": 4},
+        {"contig": True, "max_windows": 16},
+        {"contig": True, "max_windows": 32, "rot": 4},
+    ],
+    ids=["free", "contig", "rot2", "rot4", "deep16", "deep32rot4"],
+)
+def test_pack_slots_native_matches_python(kwargs):
     from cfs_spmv_tpu.native import pack_slots, pack_slots_py
 
     coo = _block_coo()
@@ -137,9 +149,10 @@ def test_pack_slots_native_matches_python():
     col = csr.indices.astype(np.int64)
     tile, lane, seg, q = row >> 7, row & 127, col >> 7, col & 127
     order = np.lexsort((q, seg, tile))
-    args = (tile[order], lane[order], seg[order], q[order], 8)
-    a = pack_slots(*args)
-    b = pack_slots_py(*args)
+    mw = kwargs.pop("max_windows", 8)
+    args = (tile[order], lane[order], seg[order], q[order], mw)
+    a = pack_slots(*args, **kwargs)
+    b = pack_slots_py(*args, **kwargs)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
 
