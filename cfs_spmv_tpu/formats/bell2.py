@@ -121,6 +121,21 @@ class Bell2Plan:
     #: post-peel residuals use this — covering chunks for empty tiles
     #: would otherwise cost as much traffic as the data itself)
     sparse_stream: bool = False
+    #: degree-grouped row tiling (scattered structure with high
+    #: row-degree variance): rows are re-grouped into 128-row tiles by
+    #: descending stream degree, so each tile's 128 lanes carry
+    #: near-equal multiplicity and the lane-conflict floor collapses to
+    #: the capacity floor — at ZERO kernel cost (the kernel is
+    #: permutation-blind; only the plan's tile/lane assignment changes).
+    #: ``row_perm[r]`` is the packed slot of original row r, or the
+    #: sentinel ``num_row_tiles*128`` for rows with no entries in this
+    #: stream; apply unpermutes y with one O(n) XLA gather against a
+    #: zero-extended flat output. Grouped plans are always dense over
+    #: their compact tile range (never ``sparse_stream``) because the
+    #: zero-degree rows sort to the end. Replaces the reference's
+    #: conflict balancing (``csr_matrix.tpp:2009-2363``) for the
+    #: dense-row/variance case the lane-pinned layout cannot absorb.
+    row_perm: np.ndarray | None = None  # (nrows,) int32
     #: optional signed-offset dense-diagonal stream peeled off a general
     #: square matrix (SDiaPlan; ops/sdia_kernel.sdia_gen_tiles) — the
     #: general-matrix analog of the symmetric SDIA peel
@@ -464,6 +479,105 @@ def _tile_size_floor(tile, T):
     return int(np.ceil(cnt / (SUBLANES * LANES)).sum())
 
 
+def _perm_floor_chunks(counts):
+    """Lane floor achievable by degree-grouped row tiling: rows sorted
+    by descending stream degree, 128 per tile — each tile's binding
+    lane multiplicity is its first (heaviest) row. Returns (floor,
+    compact tile count)."""
+    nz = np.sort(counts[counts > 0])[::-1]
+    if len(nz) == 0:
+        return 1, 1
+    Tc = -(-len(nz) // LANES)
+    heads = nz[::LANES]
+    return int(np.ceil(heads / SUBLANES).sum()), Tc
+
+
+def _radius_floor(counts, radius):
+    """Lane floor when rows are degree-sorted only WITHIN each
+    ``radius``-row neighborhood (locality-preserving grouping)."""
+    n = len(counts)
+    nb = -(-n // radius)
+    cpad = np.concatenate(
+        [counts, np.zeros(nb * radius - n, counts.dtype)]
+    ).reshape(nb, radius)
+    srt = -np.sort(-cpad, axis=1)
+    heads = srt[:, ::LANES]
+    return int(np.ceil(heads / SUBLANES).sum())
+
+
+#: locality-preserving grouping radii tried besides global compaction:
+#: rows are re-sorted by degree only within an R-row neighborhood, so a
+#: chunk mixes rows whose columns still sit near each other (banded /
+#: block structure keeps its window locality)
+_GROUP_RADII = (1024, 8192)
+
+
+def _try_degree_grouping(row, seg, q, n, K, BT, *, allow_runs,
+                         max_windows=SUBLANES, strict_floor=None):
+    """Evaluate degree-grouped row tiling against the in-order layout.
+
+    Returns ``None`` when no grouped floor (plus the apply-time
+    unpermute-gather margin, ~16 B/row against ~10 KB of stream traffic
+    per chunk) can beat the in-order lane floor. Otherwise picks the
+    smallest radius whose floor is within 5% of the best (smaller radii
+    preserve column-window locality for the same lane balance), packs
+    that layout (which may itself pick deep windows / rotation) and
+    returns everything the builder needs to adopt it. The grouped grid
+    is sparse (blocks without chunks are skipped); rows living in
+    skipped blocks are routed to the zero sentinel at apply time."""
+    counts = np.bincount(row, minlength=n)
+    margin = max(1, n // 512)
+    floor_g, Tc = _perm_floor_chunks(counts)
+    cands = [(None, floor_g)]
+    for R in _GROUP_RADII:
+        if R < n:
+            cands.append((R, _radius_floor(counts, R)))
+    best_floor = min(f for _, f in cands)
+    if strict_floor is not None and (
+        best_floor + margin >= 0.9 * strict_floor
+    ):
+        return None
+    radius, floor_p = min(
+        ((r, f) for r, f in cands if f <= 1.05 * best_floor),
+        key=lambda rf: (rf[0] is None, rf[0] or 0),
+    )
+    if radius is None:
+        order = np.argsort(-counts, kind="stable")
+        T_out = Tc
+    else:
+        # block-local degree sort: (block asc, degree desc, row asc)
+        blocks = np.arange(n, dtype=np.int64) // radius
+        order = np.lexsort((np.arange(n), -counts, blocks))
+        T_out = -(-n // LANES)
+    slot_of_row = np.empty(n, np.int64)
+    slot_of_row[order] = np.arange(n, dtype=np.int64)
+    new_row = slot_of_row[row]
+    pk, contig, run_pick, depth, rot = _choose_slot_packing(
+        new_row >> 7, new_row & 127, seg, q, T_out, K,
+        ensure_tiles=(radius is None),
+        allow_runs=allow_runs, max_windows=max_windows, allow_relax=True,
+    )
+    # rows whose output block is never visited by the sparse grid (and
+    # zero-degree rows under global compaction) read an exact 0 through
+    # the sentinel one past the flat output
+    sentinel = np.int64(T_out * LANES)
+    if radius is None:
+        perm = np.where(counts > 0, slot_of_row, sentinel)
+    else:
+        nb_out = -(-T_out // BT)
+        visited = np.zeros(nb_out, bool)
+        visited[np.asarray(pk[4]) // BT] = True
+        perm = np.where(
+            visited[(slot_of_row >> 7) // BT], slot_of_row, sentinel
+        )
+    cost = len(pk[4]) * _cyc_per_chunk(depth, rot) + margin * _CYC_CONTIG
+    return dict(
+        pk=pk, contig=contig, run_pick=run_pick, depth=depth, rot=rot,
+        T=T_out, lane=(new_row & 127), perm=perm.astype(np.int32),
+        cost=cost, radius=radius,
+    )
+
+
 def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
                          allow_runs, max_windows=SUBLANES,
                          allow_relax=True):
@@ -698,12 +812,50 @@ def build_bell2_from_arrays(
     packed_alt = None
     contig = False
     depth, rot = SUBLANES, 1
+    row_perm = None
     if slot_ok and avg_per_ts < 24:
-        packed_alt, contig, run_pick, depth, rot = _choose_slot_packing(
-            tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
-            allow_runs=allow_runs, max_windows=slot_windows,
-            allow_relax=allow_relax,
-        )
+        grp = None
+        if allow_relax:
+            strict_floor = max(_lane_floor_chunks(tile, lane, T), 1)
+            size_floor = max(_tile_size_floor(tile, T), 1)
+            if strict_floor > 1.15 * size_floor:
+                grp = _try_degree_grouping(
+                    row, seg, q, n, K, BT, allow_runs=allow_runs,
+                    max_windows=slot_windows, strict_floor=strict_floor,
+                )
+        if grp is not None and grp["cost"] < strict_floor * _CYC_CONTIG:
+            # the grouped pack beats anything the in-order layout could
+            # reach (its lane floor at the cheapest datapath) — adopt
+            # without paying a second packing pass
+            packed_alt = grp["pk"]
+            contig, run_pick = grp["contig"], grp["run_pick"]
+            depth, rot = grp["depth"], grp["rot"]
+        else:
+            packed_alt, contig, run_pick, depth, rot = (
+                _choose_slot_packing(
+                    tile, lane, seg, q, T, K,
+                    ensure_tiles=cover_all_tiles,
+                    allow_runs=allow_runs, max_windows=slot_windows,
+                    allow_relax=allow_relax,
+                )
+            )
+            if grp is not None and grp["cost"] < len(packed_alt[4]) * (
+                _cyc_per_chunk(depth, rot)
+            ):
+                packed_alt = grp["pk"]
+                contig, run_pick = grp["contig"], grp["run_pick"]
+                depth, rot = grp["depth"], grp["rot"]
+            else:
+                grp = None
+        if grp is not None:
+            T, lane, row_perm = grp["T"], grp["lane"], grp["perm"]
+            # global compaction packs a dense tile prefix; radius mode
+            # keeps a sparse grid (skipped blocks read 0 via sentinel)
+            cover_all_tiles = grp["radius"] is None
+            info(
+                "bell2: degree-grouped rows (radius=%s) -> %d tiles, "
+                "%d chunks", grp["radius"], T, len(packed_alt[4]),
+            )
     run_len = 1
     wmax = SUBLANES
     shared_windows = False
@@ -732,24 +884,51 @@ def build_bell2_from_arrays(
         )
         pad0 = len(chunk_tiles) * SUBLANES * LANES / max(nnz, 1)
         if pad0 > 1.7 and slot_ok:
-            # mispredicted: retry with the slot packer and keep the
-            # smaller plan
+            # mispredicted: retry with the slot packer (and the
+            # degree-grouped layout) and keep the cheapest plan
             alt, contig_a, run_pick, depth_a, rot_a = _choose_slot_packing(
                 tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
                 allow_runs=allow_runs, max_windows=slot_windows,
                 allow_relax=allow_relax,
             )
+            cand = None
             if alt is not None and len(alt[4]) < len(chunk_tiles):
+                cand = (alt, contig_a, run_pick, depth_a, rot_a, None)
+            if allow_relax:
+                grp = _try_degree_grouping(
+                    row, seg, q, n, K, BT, allow_runs=allow_runs,
+                    max_windows=slot_windows,
+                    strict_floor=max(_lane_floor_chunks(tile, lane, T), 1),
+                )
+                if (
+                    grp is not None
+                    and len(grp["pk"][4]) < len(chunk_tiles)
+                    and (
+                        cand is None
+                        or grp["cost"]
+                        < len(cand[0][4]) * _cyc_per_chunk(cand[3], cand[4])
+                    )
+                ):
+                    cand = (
+                        grp["pk"], grp["contig"], grp["run_pick"],
+                        grp["depth"], grp["rot"], grp,
+                    )
+            if cand is not None:
+                alt, contig_a, run_pick, depth_a, rot_a, grp_pick = cand
                 info(
                     "bell2: slot packing %d -> %d chunks (contig=%s, "
-                    "depth=%d, rot=%d)",
+                    "depth=%d, rot=%d, grouped=%s)",
                     len(chunk_tiles), len(alt[4]), contig_a, depth_a,
-                    rot_a,
+                    rot_a, grp_pick is not None,
                 )
                 (e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows,
                  nwin) = alt
                 contig = contig_a
                 depth, rot = depth_a, rot_a
+                if grp_pick is not None:
+                    T, lane = grp_pick["T"], grp_pick["lane"]
+                    row_perm = grp_pick["perm"]
+                    cover_all_tiles = grp_pick["radius"] is None
                 if allow_runs:
                     wmax = slot_windows
                 if run_pick > 1:
@@ -820,6 +999,7 @@ def build_bell2_from_arrays(
         T, x_rows, K, BT, run_len, wmax, shared_windows, contig,
         window_depth=depth, lane_rot=rot,
         sparse_stream=not cover_all_tiles,
+        row_perm=row_perm,
     )
     info(
         "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",

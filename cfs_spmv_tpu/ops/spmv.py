@@ -92,6 +92,11 @@ class Bell2Device:
     has_work: bool = dataclasses.field(
         default=True, metadata=dict(static=True)
     )
+    #: degree-grouped row tiling: (nrows,) int32 slot of each original
+    #: row in the compact permuted output (sentinel num_row_tiles*128
+    #: for rows absent from the stream); apply unpermutes with one
+    #: gather against the zero-extended flat output
+    row_perm: Any = None
     dia_vals: Any = None  # signed-offset dense-diagonal stream (general)
     dia_offsets: tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -146,6 +151,8 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         lane_rot=plan.lane_rot,
         sparse_stream=plan.sparse_stream,
         has_work=plan.nnz > 0,
+        row_perm=None if plan.row_perm is None
+        else jnp.asarray(plan.row_perm),
         dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
         dia_offsets=() if plan.dia is None else plan.dia.offsets,
     )
@@ -204,7 +211,7 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
     if not dev.has_work:
         # dia-only (or empty) plan: nothing to stream at all
         tiles = jnp.zeros((dev.num_row_tiles, LANES), x2d.dtype)
-    elif dev.sparse_stream:
+    elif dev.sparse_stream and dev.row_perm is None:
         # post-peel residual: only tiles with chunks are visited
         BT = dev.tiles_per_block
         TP = -(-dev.num_row_tiles // BT) * BT
@@ -216,6 +223,15 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         tiles = bell2_spmv_tiles(
             dev.vals, dev.packed, dev.meta, dev.step_block, x2d, **kw
         )
+    if dev.row_perm is not None:
+        # degree-grouped stream: unpermute the compact output with one
+        # gather (absent rows hit the zero sentinel one past the end)
+        flat = tiles[: dev.num_row_tiles].reshape(-1)
+        flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+        y = flat[dev.row_perm]
+        if dev.dia_vals is None:
+            return y
+        tiles = pad_x(y, -(-dev.nrows // LANES))
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles(
             dev.dia_vals, x2d, tiles, offsets=dev.dia_offsets,
@@ -242,7 +258,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
     )
     if not dev.has_work:
         tiles = jnp.zeros((B, dev.num_row_tiles, LANES), x3d.dtype)
-    elif dev.sparse_stream:
+    elif dev.sparse_stream and dev.row_perm is None:
         BT = dev.tiles_per_block
         TP = -(-dev.num_row_tiles // BT) * BT
         tiles = bell2_spmm_tiles_accum(
@@ -253,6 +269,18 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         tiles = bell2_spmm_tiles(
             dev.vals, dev.packed, dev.meta, dev.step_block, x3d, **kw
         )
+    if dev.row_perm is not None:
+        flat = tiles[:, : dev.num_row_tiles].reshape(B, -1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((B, 1), flat.dtype)], axis=1
+        )
+        Y = flat[:, dev.row_perm]  # (B, nrows)
+        if dev.dia_vals is None:
+            return Y.T
+        T_full = -(-dev.nrows // LANES)
+        tiles = jnp.pad(
+            Y, ((0, 0), (0, T_full * LANES - dev.nrows))
+        ).reshape(B, T_full, LANES)
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles_mm(
             dev.dia_vals, x3d, tiles, offsets=dev.dia_offsets,
@@ -285,25 +313,42 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
         tiles = pad_x(dev.diag * x, dev.num_row_tiles)
         diag_done = True
     if dev.far is not None:
-        # far residual accumulates straight into the paired tiles
-        # (sparse stream; unvisited blocks keep their values)
-        BT = dev.far.tiles_per_block
-        tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
-        tp = jnp.pad(tiles, ((0, tiles_padded - tiles.shape[0]), (0, 0)))
-        tiles = bell2_spmv_tiles_accum(
-            dev.far.vals, dev.far.packed, dev.far.meta,
-            dev.far.step_block, x2d, tp,
-            num_row_tiles=dev.far.num_row_tiles,
-            chunks_per_step=dev.far.chunks_per_step,
-            tiles_per_block=BT,
+        fd = dev.far
+        fkw = dict(
+            num_row_tiles=fd.num_row_tiles,
+            chunks_per_step=fd.chunks_per_step,
+            tiles_per_block=fd.tiles_per_block,
             interpret=use_interpret(),
-            run=dev.far.run_len,
-            wmax=dev.far.max_windows,
-            shared=dev.far.windows_shared,
-            contig=dev.far.windows_contig,
-            depth=dev.far.window_depth,
-            rot=dev.far.lane_rot,
-        )[: dev.num_row_tiles]
+            run=fd.run_len,
+            wmax=fd.max_windows,
+            shared=fd.windows_shared,
+            contig=fd.windows_contig,
+            depth=fd.window_depth,
+            rot=fd.lane_rot,
+        )
+        if fd.row_perm is not None:
+            # degree-grouped far stream: dense over its compact tiles;
+            # unpermute with one gather, then add into the paired tiles
+            ftiles = bell2_spmv_tiles(
+                fd.vals, fd.packed, fd.meta, fd.step_block, x2d, **fkw
+            )
+            flat = ftiles[: fd.num_row_tiles].reshape(-1)
+            flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+            tiles = tiles[: dev.num_row_tiles] + pad_x(
+                flat[fd.row_perm], dev.num_row_tiles
+            )
+        else:
+            # far residual accumulates straight into the paired tiles
+            # (sparse stream; unvisited blocks keep their values)
+            BT = fd.tiles_per_block
+            tiles_padded = -(-fd.num_row_tiles // BT) * BT
+            tp = jnp.pad(
+                tiles, ((0, tiles_padded - tiles.shape[0]), (0, 0))
+            )
+            tiles = bell2_spmv_tiles_accum(
+                fd.vals, fd.packed, fd.meta, fd.step_block, x2d, tp,
+                **fkw
+            )[: dev.num_row_tiles]
     if dev.dia_vals is not None:
         # mirrored (signed) offsets -> blocked-y one-sided kernel
         dia_fn = (
@@ -339,25 +384,43 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
         )
         diag_done = True
     if dev.far is not None:
-        BT = dev.far.tiles_per_block
-        tiles_padded = -(-dev.far.num_row_tiles // BT) * BT
-        tp = jnp.pad(
-            tiles, ((0, 0), (0, tiles_padded - tiles.shape[1]), (0, 0))
-        )
-        tiles = bell2_spmm_tiles_accum(
-            dev.far.vals, dev.far.packed, dev.far.meta,
-            dev.far.step_block, x3d, tp,
-            num_row_tiles=dev.far.num_row_tiles,
-            chunks_per_step=dev.far.chunks_per_step,
-            tiles_per_block=BT,
+        fd = dev.far
+        fkw = dict(
+            num_row_tiles=fd.num_row_tiles,
+            chunks_per_step=fd.chunks_per_step,
+            tiles_per_block=fd.tiles_per_block,
             interpret=use_interpret(),
-            run=dev.far.run_len,
-            wmax=dev.far.max_windows,
-            shared=dev.far.windows_shared,
-            contig=dev.far.windows_contig,
-            depth=dev.far.window_depth,
-            rot=dev.far.lane_rot,
-        )[:, : dev.num_row_tiles]
+            run=fd.run_len,
+            wmax=fd.max_windows,
+            shared=fd.windows_shared,
+            contig=fd.windows_contig,
+            depth=fd.window_depth,
+            rot=fd.lane_rot,
+        )
+        if fd.row_perm is not None:
+            ftiles = bell2_spmm_tiles(
+                fd.vals, fd.packed, fd.meta, fd.step_block, x3d, **fkw
+            )
+            flat = ftiles[:, : fd.num_row_tiles].reshape(B, -1)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((B, 1), flat.dtype)], axis=1
+            )
+            fy = flat[:, fd.row_perm]  # (B, nrows)
+            NT = dev.num_row_tiles
+            tiles = tiles[:, :NT] + jnp.pad(
+                fy, ((0, 0), (0, NT * LANES - dev.nrows))
+            ).reshape(B, NT, LANES)
+        else:
+            BT = fd.tiles_per_block
+            tiles_padded = -(-fd.num_row_tiles // BT) * BT
+            tp = jnp.pad(
+                tiles,
+                ((0, 0), (0, tiles_padded - tiles.shape[1]), (0, 0)),
+            )
+            tiles = bell2_spmm_tiles_accum(
+                fd.vals, fd.packed, fd.meta, fd.step_block, x3d, tp,
+                **fkw
+            )[:, : dev.num_row_tiles]
     if dev.dia_vals is not None:
         dia_fn = (
             sdia_gen_tiles_mm

@@ -20,13 +20,19 @@ def decode_bell2(plan):
     """Invert the BELL2 encoding back to (row, col, val) triples.
 
     Understands the relaxed layouts too: 5-bit r2 against the contiguous
-    window base for deep-window plans, and rotated row lanes (rc in
-    packed bits 12-13) for lane-rotation plans."""
+    window base for deep-window plans, rotated row lanes (rc in packed
+    bits 12-13) for lane-rotation plans, and degree-grouped row tiling
+    (slots inverted through ``row_perm``)."""
     K = plan.chunks_per_step
     depth = plan.window_depth
     rot = plan.lane_rot
     stride = LANES // rot
     r2_mask = 0x1F if depth > SUBLANES else 0x7
+    inv = None
+    if plan.row_perm is not None:
+        inv = np.full(plan.num_row_tiles * LANES, -1, np.int64)
+        live = plan.row_perm < plan.num_row_tiles * LANES
+        inv[plan.row_perm[live]] = np.nonzero(live)[0]
     rows, cols, vals = [], [], []
     for c in range(plan.num_chunks):
         block = plan.step_block[c // K]
@@ -44,7 +50,8 @@ def decode_bell2(plan):
                 else:
                     win = plan.meta[c, 2 + r2]
                 lane_r = (j - stride * ((pk >> 12) & 0x3)) % LANES
-                rows.append(tile * LANES + lane_r)
+                slot = tile * LANES + lane_r
+                rows.append(slot if inv is None else inv[slot])
                 cols.append(win * LANES + q)
                 vals.append(v)
     return np.array(rows), np.array(cols), np.array(vals)
