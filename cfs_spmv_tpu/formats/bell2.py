@@ -369,23 +369,44 @@ def pack_chunks(unit_key, tile, seg, T, max_windows=SUBLANES,
     return e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin
 
 
-def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
+def _sort_entries(row, col):
+    """Combined-key stable sort of the entry stream into the packer's
+    required (tile, seg, q) order. One radix argsort (~3x faster than
+    the 3-pass lexsort on this host; keys fit int64 for any n*m/128 <
+    2^63 matrix); the sorted copies are shared by every packing
+    candidate so each candidate pays only the native pack itself.
+    Gathers the two int32 raw streams and derives (tile, lane, seg, q)
+    sequentially — half the random-access bytes of gathering four
+    int64 component arrays."""
+    if not len(row):
+        z = np.zeros(0, np.int32)
+        return np.zeros(0, np.int64), z, z, z, z
+    # (tile*S + seg)*128 + q == tile*(S*128) + col; build the key with
+    # in-place ops — two fewer 8B/entry temporaries (page-fault cost
+    # dominates fresh allocations at this host's memory bandwidth)
+    S128 = ((int(col.max()) >> 7) + 1) * 128
+    key = row >> 7
+    key *= S128
+    key += col
+    order = np.argsort(key, kind="stable")
+    rs = row.astype(np.int32)[order]
+    cs = col.astype(np.int32)[order]
+    return order, rs >> 7, rs & 127, cs >> 7, cs & 127
+
+
+def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
                         max_windows=SUBLANES, group=1, contig=False, rot=1):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
-    lanes stay conflict-free. Returns pack_chunks-shaped outputs in
-    ORIGINAL entry order.
+    lanes stay conflict-free. Inputs MUST already be in ``_sort_entries``
+    order; outputs are pack_chunks-shaped in that same SORTED order (the
+    plan assembly scatters values/indices straight from the sorted
+    domain — the former scatter-back to entry order was 4 random passes
+    over the whole entry set per candidate).
 
     ``group > 1`` packs superchunks — ``group`` consecutive same-tile
     chunks sharing one window table, so the kernel loads the x-window
-    stack once per ``group``-chunk run (the per-chunk stack is the
-    dominant cost of the one-sided kernel on scattered structure)."""
-    # single combined-key radix argsort: ~3x faster than the 3-pass
-    # lexsort on this planner's hottest path (keys fit int64 for any
-    # n*m/128 < 2^63 matrix)
-    S = int(seg.max()) + 1 if len(seg) else 1
-    order = np.argsort((tile * S + seg) * 128 + q, kind="stable")
-    ts, lrs, sgs, qs = tile[order], lane[order], seg[order], q[order]
+    stack once per ``group``-chunk run."""
     packed = _native.pack_slots(
         ts, lrs, sgs, qs, max_windows, group=group, contig=contig, rot=rot
     )
@@ -394,23 +415,15 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
             ts, lrs, sgs, qs, max_windows, group=group, contig=contig,
             rot=rot,
         )
-    e_chunk_s, e_sub_s, e_r2_s, e_rc_s, chunk_tiles, windows, nwin = packed
+    e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin = packed
     if group > 1:
         # expand superchunk outputs to chunk granularity (windows
         # replicated so every chunk's meta row is self-describing)
-        e_chunk_s = e_chunk_s * group + (e_sub_s >> 3)
-        e_sub_s = e_sub_s & 7
+        e_chunk = e_chunk * group + (e_sub >> 3)
+        e_sub = e_sub & 7
         chunk_tiles = np.repeat(chunk_tiles, group)
         windows = np.repeat(windows, group, axis=0)
         nwin = np.repeat(nwin, group)
-    e_chunk = np.empty(len(order), np.int64)
-    e_sub = np.empty(len(order), np.int64)
-    e_r2 = np.empty(len(order), np.int64)
-    e_rc = np.empty(len(order), np.int64)
-    e_chunk[order] = e_chunk_s
-    e_sub[order] = e_sub_s
-    e_r2[order] = e_r2_s
-    e_rc[order] = e_rc_s
 
     # cover empty tiles (same contract as pack_chunks)
     present = np.zeros(T, bool)
@@ -426,7 +439,7 @@ def _pack_slots_entries(tile, lane, seg, q, T, *, ensure_tiles=True,
         )
         nwin = np.concatenate([nwin, np.zeros(len(missing), np.int32)])
         corder = np.argsort(chunk_tiles, kind="stable")
-        cremap = np.empty(len(chunk_tiles), np.int64)
+        cremap = np.empty(len(chunk_tiles), e_chunk.dtype)
         cremap[corder] = np.arange(len(chunk_tiles))
         e_chunk = cremap[e_chunk]
         chunk_tiles = chunk_tiles[corder]
@@ -458,25 +471,34 @@ def _cyc_per_chunk(depth, rot):
     )
 
 
-def _lane_floor_chunks(tile, lane, T, rot=1):
+def _lane_count_table(row, T):
+    """Per-(tile, lane) entry counts as a (T, 128) table — one O(nnz)
+    bincount over the row stream (tile*128 + lane IS the row index).
+    Every packing floor derives from this table, so the planner pays
+    the pass once per layout instead of one keyed np.unique per floor
+    query (~1s each at audikw scale)."""
+    return np.bincount(row, minlength=T * LANES)[: T * LANES].reshape(
+        T, LANES
+    )
+
+
+def _lane_floor_chunks(tbl, rot=1):
     """The packing lower bound: sum over tiles of ceil(max per-lane-coset
     row multiplicity / (8*rot)) — with ``rot`` rotation groups an entry
     of row lane l may occupy any of the rot lanes {l, l+128/rot, ...},
     so the binding multiplicity is per coset and each chunk offers
     8*rot slots to it."""
+    T = len(tbl)
     stride = LANES // rot
-    key = tile * stride + lane % stride
-    u, c = np.unique(key, return_counts=True)
-    per_tile_max = np.zeros(T, np.int64)
-    np.maximum.at(per_tile_max, u // stride, c)
+    coset = tbl.reshape(T, rot, stride).sum(axis=1) if rot > 1 else tbl
+    per_tile_max = coset.max(axis=1)
     return int(np.ceil(per_tile_max / (SUBLANES * rot)).sum())
 
 
-def _tile_size_floor(tile, T):
+def _tile_size_floor(tbl):
     """Chunk count lower bound from capacity alone: ceil(per-tile
     entries / 1024) summed (a chunk holds 8x128 slots)."""
-    cnt = np.bincount(tile, minlength=T)
-    return int(np.ceil(cnt / (SUBLANES * LANES)).sum())
+    return int(np.ceil(tbl.sum(axis=1) / (SUBLANES * LANES)).sum())
 
 
 def _perm_floor_chunks(counts):
@@ -512,7 +534,7 @@ def _radius_floor(counts, radius):
 _GROUP_RADII = (1024, 8192)
 
 
-def _try_degree_grouping(row, seg, q, n, K, BT, *, allow_runs,
+def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
                          max_windows=SUBLANES, strict_floor=None):
     """Evaluate degree-grouped row tiling against the in-order layout.
 
@@ -552,10 +574,17 @@ def _try_degree_grouping(row, seg, q, n, K, BT, *, allow_runs,
     slot_of_row = np.empty(n, np.int64)
     slot_of_row[order] = np.arange(n, dtype=np.int64)
     new_row = slot_of_row[row]
-    pk, contig, run_pick, depth, rot = _choose_slot_packing(
-        new_row >> 7, new_row & 127, seg, q, T_out, K,
+    # the grouped layout's lane-count table is just the per-row counts
+    # gathered into slot order (slots past T_out*128 are all zero-count
+    # rows under global compaction)
+    tbl_g = np.zeros(T_out * LANES, counts.dtype)
+    m_slots = min(n, T_out * LANES)
+    tbl_g[:m_slots] = counts[order][:m_slots]
+    pk, contig, run_pick, depth, rot, ctx = _choose_slot_packing(
+        new_row, col, T_out, K,
         ensure_tiles=(radius is None),
         allow_runs=allow_runs, max_windows=max_windows, allow_relax=True,
+        tbl=tbl_g.reshape(T_out, LANES),
     )
     # rows whose output block is never visited by the sparse grid (and
     # zero-degree rows under global compaction) read an exact 0 through
@@ -573,14 +602,14 @@ def _try_degree_grouping(row, seg, q, n, K, BT, *, allow_runs,
     cost = len(pk[4]) * _cyc_per_chunk(depth, rot) + margin * _CYC_CONTIG
     return dict(
         pk=pk, contig=contig, run_pick=run_pick, depth=depth, rot=rot,
-        T=T_out, lane=(new_row & 127), perm=perm.astype(np.int32),
+        T=T_out, ctx=ctx, perm=perm.astype(np.int32),
         cost=cost, radius=radius,
     )
 
 
-def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
+def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
                          allow_runs, max_windows=SUBLANES,
-                         allow_relax=True):
+                         allow_relax=True, tbl=None):
     """Slot-pack with contiguous-range windows, relaxing the layout when
     the baseline pack sits far from the capacity floor:
 
@@ -598,14 +627,18 @@ def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
     window sharing (group > 1) never reduced chunks and cost fill, so
     groups are not tried. Returns (packed, contig, run_len, depth, rot).
     """
+    order, ts, lrs, sgs, qs = _sort_entries(row, col)
+    ctx = (order, lrs, qs)
+    if tbl is None:
+        tbl = _lane_count_table(row, T)
     pk_c = _pack_slots_entries(
-        tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+        ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
         max_windows=max_windows, contig=True,
     )
     best = (pk_c, True, SUBLANES, 1)
     best_cost = len(pk_c[4]) * _cyc_per_chunk(SUBLANES, 1)
-    floor1 = max(_lane_floor_chunks(tile, lane, T), 1)
-    size_floor = max(_tile_size_floor(tile, T), 1)
+    floor1 = max(_lane_floor_chunks(tbl), 1)
+    size_floor = max(_tile_size_floor(tbl), 1)
 
     # lane rotation: pick the group count minimizing floor x cycles
     rot = 1
@@ -613,7 +646,7 @@ def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
         rot_score = floor1 * _cyc_per_chunk(SUBLANES, 1)
         for r in (2, 4):
             s = (
-                max(_lane_floor_chunks(tile, lane, T, rot=r), size_floor)
+                max(_lane_floor_chunks(tbl, rot=r), size_floor)
                 * _cyc_per_chunk(SUBLANES, r)
             )
             if s < rot_score:
@@ -632,11 +665,11 @@ def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
     for d, r in cands:
         # the relaxed floor bounds what this candidate could achieve;
         # skip the (host-costly) pack when even that loses
-        fl = max(_lane_floor_chunks(tile, lane, T, rot=r), size_floor)
+        fl = max(_lane_floor_chunks(tbl, rot=r), size_floor)
         if fl * _cyc_per_chunk(d, r) >= best_cost:
             continue
         pk = _pack_slots_entries(
-            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+            ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
             max_windows=d, contig=True, rot=r,
         )
         cost = len(pk[4]) * _cyc_per_chunk(d, r)
@@ -645,13 +678,13 @@ def _choose_slot_packing(tile, lane, seg, q, T, K, *, ensure_tiles,
 
     if best_cost > floor1 * _CYC_DISTINCT:
         pk_d = _pack_slots_entries(
-            tile, lane, seg, q, T, ensure_tiles=ensure_tiles,
+            ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
             max_windows=max_windows,
         )
         if len(pk_d[4]) * _CYC_DISTINCT < best_cost:
             best = (pk_d, False, SUBLANES, 1)
     run_len = 4 if allow_runs and K % 4 == 0 else 1
-    return best[0], best[1], run_len, best[2], best[3]
+    return best[0], best[1], run_len, best[2], best[3], ctx
 
 
 def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
@@ -674,7 +707,7 @@ def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
     new_windows[remap] = windows
     new_nwin = np.zeros(C, np.int32)
     new_nwin[remap] = nwin
-    return remap[e_chunk], new_tiles, new_windows, new_nwin
+    return remap.astype(e_chunk.dtype)[e_chunk], new_tiles, new_windows, new_nwin
 
 
 def group_pad(chunk_tiles, K, BT, *, min_one_step=True):
@@ -765,9 +798,9 @@ def build_bell2_from_arrays(
     val = np.asarray(val)
 
     tile = row >> 7
-    lane = row & 127
     seg = col >> 7
-    q = col & 127
+    # lane/q are derived on demand: the slot path takes them from the
+    # packer's sorted context, the unit path from plan_units
 
     # cheap scatter predictor: few entries per (tile, segment) means
     # unit-based subrows would sit mostly empty — go straight to the
@@ -813,14 +846,16 @@ def build_bell2_from_arrays(
     contig = False
     depth, rot = SUBLANES, 1
     row_perm = None
+    pack_ctx = None
     if slot_ok and avg_per_ts < 24:
         grp = None
+        tbl = _lane_count_table(row, T)
         if allow_relax:
-            strict_floor = max(_lane_floor_chunks(tile, lane, T), 1)
-            size_floor = max(_tile_size_floor(tile, T), 1)
+            strict_floor = max(_lane_floor_chunks(tbl), 1)
+            size_floor = max(_tile_size_floor(tbl), 1)
             if strict_floor > 1.15 * size_floor:
                 grp = _try_degree_grouping(
-                    row, seg, q, n, K, BT, allow_runs=allow_runs,
+                    row, col, n, K, BT, allow_runs=allow_runs,
                     max_windows=slot_windows, strict_floor=strict_floor,
                 )
         if grp is not None and grp["cost"] < strict_floor * _CYC_CONTIG:
@@ -830,13 +865,14 @@ def build_bell2_from_arrays(
             packed_alt = grp["pk"]
             contig, run_pick = grp["contig"], grp["run_pick"]
             depth, rot = grp["depth"], grp["rot"]
+            pack_ctx = grp["ctx"]
         else:
-            packed_alt, contig, run_pick, depth, rot = (
+            packed_alt, contig, run_pick, depth, rot, pack_ctx = (
                 _choose_slot_packing(
-                    tile, lane, seg, q, T, K,
+                    row, col, T, K,
                     ensure_tiles=cover_all_tiles,
                     allow_runs=allow_runs, max_windows=slot_windows,
-                    allow_relax=allow_relax,
+                    allow_relax=allow_relax, tbl=tbl,
                 )
             )
             if grp is not None and grp["cost"] < len(packed_alt[4]) * (
@@ -845,10 +881,11 @@ def build_bell2_from_arrays(
                 packed_alt = grp["pk"]
                 contig, run_pick = grp["contig"], grp["run_pick"]
                 depth, rot = grp["depth"], grp["rot"]
+                pack_ctx = grp["ctx"]
             else:
                 grp = None
         if grp is not None:
-            T, lane, row_perm = grp["T"], grp["lane"], grp["perm"]
+            T, row_perm = grp["T"], grp["perm"]
             # global compaction packs a dense tile prefix; radius mode
             # keeps a sparse grid (skipped blocks read 0 via sentinel)
             cover_all_tiles = grp["radius"] is None
@@ -886,19 +923,23 @@ def build_bell2_from_arrays(
         if pad0 > 1.7 and slot_ok:
             # mispredicted: retry with the slot packer (and the
             # degree-grouped layout) and keep the cheapest plan
-            alt, contig_a, run_pick, depth_a, rot_a = _choose_slot_packing(
-                tile, lane, seg, q, T, K, ensure_tiles=cover_all_tiles,
-                allow_runs=allow_runs, max_windows=slot_windows,
-                allow_relax=allow_relax,
+            tbl_r = _lane_count_table(row, T)
+            alt, contig_a, run_pick, depth_a, rot_a, ctx_a = (
+                _choose_slot_packing(
+                    row, col, T, K, ensure_tiles=cover_all_tiles,
+                    allow_runs=allow_runs, max_windows=slot_windows,
+                    allow_relax=allow_relax, tbl=tbl_r,
+                )
             )
             cand = None
             if alt is not None and len(alt[4]) < len(chunk_tiles):
-                cand = (alt, contig_a, run_pick, depth_a, rot_a, None)
+                cand = (alt, contig_a, run_pick, depth_a, rot_a, None,
+                        ctx_a)
             if allow_relax:
                 grp = _try_degree_grouping(
-                    row, seg, q, n, K, BT, allow_runs=allow_runs,
+                    row, col, n, K, BT, allow_runs=allow_runs,
                     max_windows=slot_windows,
-                    strict_floor=max(_lane_floor_chunks(tile, lane, T), 1),
+                    strict_floor=max(_lane_floor_chunks(tbl_r), 1),
                 )
                 if (
                     grp is not None
@@ -911,10 +952,11 @@ def build_bell2_from_arrays(
                 ):
                     cand = (
                         grp["pk"], grp["contig"], grp["run_pick"],
-                        grp["depth"], grp["rot"], grp,
+                        grp["depth"], grp["rot"], grp, grp["ctx"],
                     )
             if cand is not None:
-                alt, contig_a, run_pick, depth_a, rot_a, grp_pick = cand
+                (alt, contig_a, run_pick, depth_a, rot_a, grp_pick,
+                 pack_ctx) = cand
                 info(
                     "bell2: slot packing %d -> %d chunks (contig=%s, "
                     "depth=%d, rot=%d, grouped=%s)",
@@ -926,7 +968,7 @@ def build_bell2_from_arrays(
                 contig = contig_a
                 depth, rot = depth_a, rot_a
                 if grp_pick is not None:
-                    T, lane = grp_pick["T"], grp_pick["lane"]
+                    T = grp_pick["T"]
                     row_perm = grp_pick["perm"]
                     cover_all_tiles = grp_pick["radius"] is None
                 if allow_runs:
@@ -950,7 +992,7 @@ def build_bell2_from_arrays(
         w0 = windows[:, 0].astype(np.int64)
         delta = np.maximum(0, w0 - (x_rows - depth))
         if delta.any():
-            e_r2 = e_r2 + delta[e_chunk]
+            e_r2 = e_r2 + delta.astype(e_r2.dtype)[e_chunk]
             base = (w0 - delta).astype(np.int32)
             windows = base[:, None] + np.arange(
                 SUBLANES, dtype=np.int32
@@ -958,6 +1000,14 @@ def build_bell2_from_arrays(
             nwin = np.minimum(
                 nwin.astype(np.int64) + delta, SUBLANES
             ).astype(np.int32)
+
+    if pack_ctx is not None:
+        # slot-packed plans live in the packer's sorted entry domain:
+        # bring lane/q/val there with ONE value gather instead of four
+        # random scatter-backs per packing candidate (same slots are
+        # written either way — the plan arrays are bit-identical)
+        order_p, lane, q = pack_ctx
+        val = np.asarray(val)[order_p]
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles
@@ -969,27 +1019,32 @@ def build_bell2_from_arrays(
     step_block = blk_full[::K].copy()
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
-    ec = remap[e_chunk]
-    # with lane rotation the entry occupies its PLACED lane (its coset
-    # lane chosen by the packer); rc rides bits 12-13 of the packed
-    # field so the kernel can mask per rotation group
-    lane_p = (
-        lane if rot == 1 else (lane + (LANES // rot) * e_rc) & 127
-    )
-    vals_arr[ec, e_sub, lane_p] = np.asarray(val, dtype)
     # one-sided streams need only q (7 bits) + r2 (<= 5 bits) + rc
     # (<= 2 bits): int16 halves the index traffic (the paired symmetric
     # layout needs 18 bits and stays int32). All scatters hit unique
     # slots (each entry owns its placed lane; gather lanes carry one
-    # window index per subrow), so building the merged field in place is
-    # exact and skips two O(C*1024) int32 temporaries — the dominant
-    # preprocessing pass on scattered plans.
+    # window index per subrow). The native assembler does the whole
+    # job in one entry pass; the NumPy scatters below are its
+    # bit-identical fallback.
     packed = np.zeros((C, SUBLANES, LANES), np.int16)
-    if rot == 1:
-        packed[ec, e_sub, lane_p] = q.astype(np.int16)
-    else:
-        packed[ec, e_sub, lane_p] = (q | (e_rc << 12)).astype(np.int16)
-    packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
+    ec = remap.astype(np.int32)[e_chunk]
+    val_c = np.ascontiguousarray(np.asarray(val, dtype))
+    if not _native.assemble_plan(
+        ec, e_sub, e_r2, e_rc if e_rc is not None else e_r2,
+        lane, q, val_c, rot, vals_arr, packed,
+    ):
+        # with lane rotation the entry occupies its PLACED lane (its
+        # coset lane chosen by the packer); rc rides bits 12-13 of the
+        # packed field so the kernel can mask per rotation group
+        lane_p = (
+            lane if rot == 1 else (lane + (LANES // rot) * e_rc) & 127
+        )
+        vals_arr[ec, e_sub, lane_p] = val_c
+        if rot == 1:
+            packed[ec, e_sub, lane_p] = np.asarray(q, np.int16)
+        else:
+            packed[ec, e_sub, lane_p] = (q | (e_rc << 12)).astype(np.int16)
+        packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
 
     plan = Bell2Plan(
         n, m, nnz,

@@ -174,16 +174,37 @@ def build_sbell_plan(
     seg = col >> 7
     off = row - col  # > 0 (strict lower)
 
-    # pairable: same output block AND dense-enough exact diagonal
+    # pairable: same output block AND dense-enough exact diagonal.
+    # Count diagonals over NEAR entries only — scattered matrices have
+    # few near entries, so the (tile, off) unique runs over a small
+    # slice instead of the full stream (the count is what the predicate
+    # tests anyway: far entries of a diagonal can't join its pair run)
     near = (tile // BT) == (seg // BT)
-    dk = tile * (int(off.max()) + 1 if len(off) else 1) + off
-    _, dinv, dcnt = np.unique(dk, return_inverse=True, return_counts=True)
-    pairable = near & (dcnt[dinv] >= pair_threshold)
+    pairable = np.zeros(len(row), bool)
+    # global per-offset counts bound the per-(tile, off) counts from
+    # above: entries whose whole diagonal is below the pair threshold
+    # can never pair, so scattered matrices skip the keyed unique
+    # entirely (one bincount over the bounded offset space instead)
+    cnt_off = np.bincount(off, minlength=n + 1)
+    cand = near & (cnt_off[off] >= pair_threshold)
+    ni = np.flatnonzero(cand)
+    if len(ni) and len(ni) >= PAIR_MIN_FRACTION * len(row):
+        offn = off[ni]
+        dk = tile[ni] * (int(offn.max()) + 1) + offn
+        _, dinv, dcnt = np.unique(
+            dk, return_inverse=True, return_counts=True
+        )
+        pairable[ni] = dcnt[dinv] >= pair_threshold
     if 0 < pairable.sum() < PAIR_MIN_FRACTION * len(row):
         pairable[:] = False  # not worth a kernel launch
 
     far_plan = None
-    fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
+    if pairable.any():
+        fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
+    else:
+        # scattered fast path: no boolean-gather copies of the full
+        # entry stream when everything is far (the audikw shape)
+        fr0, fc0, fv0 = row, col, val
     if len(fr0):
         # mirrored triples go straight to the planner (it sorts by
         # (tile, seg, q) itself) — skips a full canonicalize sort + CSR
@@ -204,8 +225,12 @@ def build_sbell_plan(
         # rows; the shared x operand must cover it (extra rows are zero)
         x_rows = max(x_rows, far_plan.x_rows)
 
-    row, col, val = row[pairable], col[pairable], val[pairable]
-    tile, seg, off = tile[pairable], seg[pairable], off[pairable]
+    if pairable.any():
+        row, col, val = row[pairable], col[pairable], val[pairable]
+        tile, seg, off = tile[pairable], seg[pairable], off[pairable]
+    else:
+        row, col, val = row[:0], col[:0], val[:0]
+        tile, seg, off = tile[:0], seg[:0], off[:0]
     lane_r = row & 127
     lane_c = col & 127
     nnz_paired = len(row)

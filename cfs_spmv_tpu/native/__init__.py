@@ -94,6 +94,7 @@ def _load():
 
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
         lib.cfs_parse_mmf_body.restype = ctypes.c_int64
@@ -113,6 +114,19 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i32p, i32p,
+        ]
+        lib.cfs_pack_slots_i32.restype = ctypes.c_int64
+        lib.cfs_pack_slots_i32.argtypes = [
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, i64p, i32p, i32p,
+        ]
+        lib.cfs_assemble_plan.restype = None
+        lib.cfs_assemble_plan.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, i16p,
         ]
         _lib = lib
         return _lib
@@ -199,22 +213,43 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
     if lib is None:
         return None
     n = len(tile)
-    e_chunk = np.zeros(max(n, 1), np.int64)
-    e_sub = np.zeros(max(n, 1), np.int64)
-    e_r2 = np.zeros(max(n, 1), np.int64)
-    e_rc = np.zeros(max(n, 1), np.int64)
     cap = max(n, 1)
     chunk_tile = np.zeros(cap, np.int64)
     windows = np.zeros((cap, 8), np.int32)
     nwin = np.zeros(cap, np.int32)
-    C0 = lib.cfs_pack_slots(
-        np.ascontiguousarray(tile, np.int64),
-        np.ascontiguousarray(lane_r, np.int64),
-        np.ascontiguousarray(seg, np.int64),
-        np.ascontiguousarray(lane_c, np.int64),
-        n, max_windows, ring, group, int(contig), rot,
-        e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
+    # int32 streams when the caller already holds int32 components
+    # (always true for the sorted-context path; < 2^31 rows/cols):
+    # halves the packer's memory traffic — the planner's hottest pass
+    use32 = all(
+        np.asarray(a).dtype == np.int32
+        for a in (tile, lane_r, seg, lane_c)
     )
+    if use32:
+        e_chunk = np.zeros(cap, np.int32)
+        e_sub = np.zeros(cap, np.int32)
+        e_r2 = np.zeros(cap, np.int32)
+        e_rc = np.zeros(cap, np.int32)
+        C0 = lib.cfs_pack_slots_i32(
+            np.ascontiguousarray(tile, np.int32),
+            np.ascontiguousarray(lane_r, np.int32),
+            np.ascontiguousarray(seg, np.int32),
+            np.ascontiguousarray(lane_c, np.int32),
+            n, max_windows, ring, group, int(contig), rot,
+            e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
+        )
+    else:
+        e_chunk = np.zeros(cap, np.int64)
+        e_sub = np.zeros(cap, np.int64)
+        e_r2 = np.zeros(cap, np.int64)
+        e_rc = np.zeros(cap, np.int64)
+        C0 = lib.cfs_pack_slots(
+            np.ascontiguousarray(tile, np.int64),
+            np.ascontiguousarray(lane_r, np.int64),
+            np.ascontiguousarray(seg, np.int64),
+            np.ascontiguousarray(lane_c, np.int64),
+            n, max_windows, ring, group, int(contig), rot,
+            e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
+        )
     if C0 < 0:
         return None
     return (
@@ -301,3 +336,34 @@ def pack_slots_py(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
         e_chunk, e_sub, e_r2, e_rc,
         np.asarray(chunk_tile, np.int64), windows[:C0], nwin[:C0],
     )
+
+
+def assemble_plan(ec, e_sub, e_r2, e_rc, lane, q, val, rot,
+                  vals_arr, packed):
+    """One-pass plan assembly (csrc cfs_assemble_plan).
+
+    Writes ``vals_arr`` (C, 8, 128) and the int16 ``packed`` field in
+    place from the packer's sorted-domain outputs — the NumPy
+    equivalent costs ~8 full passes in flat-index temporaries and
+    fancy scatters. ``val`` must already be in the plan's value dtype.
+    Returns True on success, False when native is unavailable (caller
+    runs the NumPy scatters instead).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(ec)
+    val = np.ascontiguousarray(val)
+    assert vals_arr.dtype == val.dtype and packed.dtype == np.int16
+    lib.cfs_assemble_plan(
+        np.ascontiguousarray(ec, np.int32),
+        np.ascontiguousarray(e_sub, np.int32),
+        np.ascontiguousarray(e_r2, np.int32),
+        np.ascontiguousarray(e_rc, np.int32),
+        np.ascontiguousarray(lane, np.int32),
+        np.ascontiguousarray(q, np.int32),
+        val.ctypes.data_as(ctypes.c_void_p), val.itemsize, n, rot,
+        vals_arr.ctypes.data_as(ctypes.c_void_p),
+        packed.reshape(-1),
+    )
+    return True

@@ -151,6 +151,8 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
   return n_chunks;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Conflict-aware slot packing for one-sided BELL2 streams.
 //
@@ -181,14 +183,17 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
 // orders (chunks naturally take consecutive segments).
 //
 // Entries must arrive sorted by (tile, seg, lane_c). Returns the
-// superchunk count.
-int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
-                       const int64_t *seg, const int64_t *lane_c,
-                       int64_t n, int64_t max_windows, int64_t ring,
-                       int64_t group, int64_t contig, int64_t rot,
-                       int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
-                       int64_t *e_rc, int64_t *chunk_tile,
-                       int32_t *windows, int32_t *nwin) {
+// superchunk count. Templated over the entry index width: the int32
+// instantiation halves the stream traffic of the planner's hottest
+// pass (any matrix with < 2^31 rows/cols/chunks fits).
+template <typename I>
+static int64_t pack_slots_impl(const I *tile, const I *lane_r,
+                               const I *seg, const I *lane_c,
+                               int64_t n, int64_t max_windows, int64_t ring,
+                               int64_t group, int64_t contig, int64_t rot,
+                               I *e_chunk, I *e_sub, I *e_r2,
+                               I *e_rc, int64_t *chunk_tile,
+                               int32_t *windows, int32_t *nwin) {
   // contig window ranges may span up to 32 segments (r2 is 5 bits in the
   // packed field); free window tables stay capped at the 8 vreg sublanes.
   if (max_windows > (contig ? 32 : 8) || ring < 1 || ring > 256)
@@ -290,6 +295,64 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
   }
   delete[] open;
   return n_chunks;
+}
+
+extern "C" {
+
+int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
+                       const int64_t *seg, const int64_t *lane_c,
+                       int64_t n, int64_t max_windows, int64_t ring,
+                       int64_t group, int64_t contig, int64_t rot,
+                       int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
+                       int64_t *e_rc, int64_t *chunk_tile,
+                       int32_t *windows, int32_t *nwin) {
+  return pack_slots_impl(tile, lane_r, seg, lane_c, n, max_windows, ring,
+                         group, contig, rot, e_chunk, e_sub, e_r2, e_rc,
+                         chunk_tile, windows, nwin);
+}
+
+int64_t cfs_pack_slots_i32(const int32_t *tile, const int32_t *lane_r,
+                           const int32_t *seg, const int32_t *lane_c,
+                           int64_t n, int64_t max_windows, int64_t ring,
+                           int64_t group, int64_t contig, int64_t rot,
+                           int32_t *e_chunk, int32_t *e_sub, int32_t *e_r2,
+                           int32_t *e_rc, int64_t *chunk_tile,
+                           int32_t *windows, int32_t *nwin) {
+  return pack_slots_impl(tile, lane_r, seg, lane_c, n, max_windows, ring,
+                         group, contig, rot, e_chunk, e_sub, e_r2, e_rc,
+                         chunk_tile, windows, nwin);
+}
+
+// ---------------------------------------------------------------------------
+// One-pass plan assembly (formats/bell2.py final scatters).
+//
+// Writes the (C, 8, 128) value tiles and the int16 packed index field
+// from the packer's sorted-domain outputs in two sequential passes —
+// the NumPy equivalent is ~8 full-array passes (flat-index temporaries
+// plus three fancy scatters). Two passes, not one: the r2 |= plane may
+// target a cell that a LATER entry's direct write owns (bits 0-6 hold
+// the row-entry's q, bits 7-11 the gather r2 — they coexist by the
+// packer's conflict rules), so all direct writes land first, exactly
+// like the NumPy scatter ordering.
+//   es: value element size in bytes (2 = bf16, 4 = fp32, 8 = fp64)
+void cfs_assemble_plan(const int32_t *ec, const int32_t *e_sub,
+                       const int32_t *e_r2, const int32_t *e_rc,
+                       const int32_t *lane, const int32_t *q,
+                       const char *val, int64_t es, int64_t n, int64_t rot,
+                       char *vals, int16_t *packed) {
+  const int64_t stride = 128 / rot;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t base = ((int64_t)ec[i] * 8 + e_sub[i]) * 128;
+    const int64_t lp =
+        rot == 1 ? lane[i] : ((lane[i] + stride * e_rc[i]) & 127);
+    memcpy(vals + (base + lp) * es, val + i * es, es);
+    packed[base + lp] =
+        (int16_t)(rot == 1 ? q[i] : (q[i] | (e_rc[i] << 12)));
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t base = ((int64_t)ec[i] * 8 + e_sub[i]) * 128;
+    packed[base + q[i]] = (int16_t)(packed[base + q[i]] | (e_r2[i] << 7));
+  }
 }
 
 }  // extern "C"
