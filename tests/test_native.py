@@ -176,3 +176,84 @@ def test_slot_packed_spmv_correct():
         nnz_per_row=csr.nnz / csr.nrows,
         scale=csr.spmv_host(xd, absolute=True),
     )
+
+
+@requires_native
+@pytest.mark.parametrize("rot", [1, 2])
+def test_pack_slots_i32_matches_i64(rot):
+    """The int32 packer instantiation places every entry identically to
+    the int64 one (same template; the dtype only narrows the streams)."""
+    from cfs_spmv_tpu.native import pack_slots
+
+    coo = _block_coo()
+    csr = CSR.from_coo(coo)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64),
+                    np.diff(csr.indptr))
+    col = csr.indices.astype(np.int64)
+    tile, lane, seg, q = row >> 7, row & 127, col >> 7, col & 127
+    order = np.lexsort((q, seg, tile))
+    a64 = pack_slots(tile[order], lane[order], seg[order], q[order], 8,
+                     contig=True, rot=rot)
+    a32 = pack_slots(
+        tile[order].astype(np.int32), lane[order].astype(np.int32),
+        seg[order].astype(np.int32), q[order].astype(np.int32), 8,
+        contig=True, rot=rot,
+    )
+    assert a32[0].dtype == np.int32
+    for x, y in zip(a64, a32):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@requires_native
+def test_assemble_plan_matches_numpy_scatters():
+    """cfs_assemble_plan writes the same value tiles and packed field as
+    the NumPy fancy-scatter fallback, including the r2 |= plane."""
+    from cfs_spmv_tpu.native import assemble_plan
+
+    rng = np.random.default_rng(11)
+    for rot in (1, 2, 4):
+        n, C = 5000, 16
+        stride = 128 // rot
+        ec = rng.integers(0, C, n).astype(np.int32)
+        e_sub = rng.integers(0, 8, n).astype(np.int32)
+        e_r2 = rng.integers(0, 8, n).astype(np.int32)
+        e_rc = rng.integers(0, rot, n).astype(np.int32)
+        lane = rng.integers(0, 128, n).astype(np.int32)
+        q = rng.integers(0, 128, n).astype(np.int32)
+        val = rng.standard_normal(n).astype(np.float32)
+        # dedup placed-lane collisions (the packer guarantees unique
+        # slots; the comparison needs the same precondition)
+        lane_p = lane if rot == 1 else (lane + stride * e_rc) & 127
+        flat = (ec.astype(np.int64) * 8 + e_sub) * 128 + lane_p
+        _, first = np.unique(flat, return_index=True)
+        keep = np.zeros(n, bool)
+        keep[first] = True
+        # and q-plane collisions against differing r2 within a subrow
+        qflat = (ec.astype(np.int64) * 8 + e_sub) * 128 + q
+        qf = qflat[keep]
+        _, qfirst = np.unique(qf, return_index=True)
+        kq = np.zeros(len(qf), bool)
+        kq[qfirst] = True
+        idx = np.flatnonzero(keep)[kq]
+        ec, e_sub, e_r2, e_rc = ec[idx], e_sub[idx], e_r2[idx], e_rc[idx]
+        lane, q, val = lane[idx], q[idx], val[idx]
+        lane_p = lane if rot == 1 else (lane + stride * e_rc) & 127
+
+        vals_np = np.zeros((C, 8, 128), np.float32)
+        packed_np = np.zeros((C, 8, 128), np.int16)
+        vals_np[ec, e_sub, lane_p] = val
+        if rot == 1:
+            packed_np[ec, e_sub, lane_p] = q.astype(np.int16)
+        else:
+            packed_np[ec, e_sub, lane_p] = (
+                q | (e_rc.astype(np.int64) << 12)
+            ).astype(np.int16)
+        packed_np[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
+
+        vals_c = np.zeros((C, 8, 128), np.float32)
+        packed_c = np.zeros((C, 8, 128), np.int16)
+        assert assemble_plan(
+            ec, e_sub, e_r2, e_rc, lane, q, val, rot, vals_c, packed_c
+        )
+        np.testing.assert_array_equal(vals_np, vals_c)
+        np.testing.assert_array_equal(packed_np, packed_c)
