@@ -130,15 +130,20 @@ def extract_sdia(
     vals = np.zeros((R, D, SUBLANES, LANES), dtype)
     g = row[sel]
     j = dmap_full[key[sel]]
-    vals[g // BLOCK_ROWS, j, (g // LANES) % SUBLANES, g % LANES] = (
-        val[sel].astype(dtype)
-    )
+    val_c = np.ascontiguousarray(val[sel].astype(dtype))
+    from .. import native as _native
+
+    if not _native.assemble_sdia(g, j, 0, D, val_c, vals):
+        vals[g // BLOCK_ROWS, j, (g // LANES) % SUBLANES, g % LANES] = (
+            val_c
+        )
     if mirror:
         # the Lᵀ plane: offset -d holds A[g, g + d] = v_d[g + d], i.e.
         # the same values scattered by COLUMN
         gc = col[sel]
-        vals[gc // BLOCK_ROWS, D0 + j,
-             (gc // LANES) % SUBLANES, gc % LANES] = val[sel].astype(dtype)
+        if not _native.assemble_sdia(gc, j, D0, D, val_c, vals):
+            vals[gc // BLOCK_ROWS, D0 + j,
+                 (gc // LANES) % SUBLANES, gc % LANES] = val_c
         all_offsets = tuple(int(d) for d in offsets) + tuple(
             -int(d) for d in offsets
         )

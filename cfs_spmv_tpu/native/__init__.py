@@ -128,6 +128,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, i16p,
         ]
+        lib.cfs_assemble_sdia.restype = None
+        lib.cfs_assemble_sdia.argtypes = [
+            i64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -365,5 +370,25 @@ def assemble_plan(ec, e_sub, e_r2, e_rc, lane, q, val, rot,
         val.ctypes.data_as(ctypes.c_void_p), val.itemsize, n, rot,
         vals_arr.ctypes.data_as(ctypes.c_void_p),
         packed.reshape(-1),
+    )
+    return True
+
+
+def assemble_sdia(g, j, joff, D, val, vals):
+    """SDIA value fill (csrc cfs_assemble_sdia): val[i] lands at row
+    g[i], diagonal plane j[i]+joff of the (R, D, 8, 128) layout. ``val``
+    must already be in the plan's value dtype. Returns False when the
+    native library is unavailable (caller scatters with NumPy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    val = np.ascontiguousarray(val)
+    assert vals.dtype == val.dtype
+    lib.cfs_assemble_sdia(
+        np.ascontiguousarray(g, np.int64),
+        np.ascontiguousarray(j, np.int32),
+        joff, len(g), D,
+        val.ctypes.data_as(ctypes.c_void_p), val.itemsize,
+        vals.ctypes.data_as(ctypes.c_void_p),
     )
     return True

@@ -355,4 +355,21 @@ void cfs_assemble_plan(const int32_t *ec, const int32_t *e_sub,
   }
 }
 
+// ---------------------------------------------------------------------------
+// SDIA value fill (formats/sdia.py extract_sdia).
+//
+// Scatters val[i] into the (R, D, 8, 128) diagonal-plane layout at row
+// g[i], plane j[i] + joff: flat slot ((g>>10)*D + j + joff)*1024 +
+// (g & 1023). One pass replaces NumPy's 4-array multi-index scatter
+// (several full-size index temporaries — minutes at Queen scale).
+void cfs_assemble_sdia(const int64_t *g, const int32_t *j, int64_t joff,
+                       int64_t n, int64_t D, const char *val, int64_t es,
+                       char *vals) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t slot =
+        (((g[i] >> 10) * D + j[i] + joff) << 10) | (g[i] & 1023);
+    memcpy(vals + slot * es, val + i * es, es);
+  }
+}
+
 }  // extern "C"

@@ -257,3 +257,20 @@ def test_assemble_plan_matches_numpy_scatters():
         )
         np.testing.assert_array_equal(vals_np, vals_c)
         np.testing.assert_array_equal(packed_np, packed_c)
+
+
+@requires_native
+def test_assemble_sdia_matches_numpy_scatter():
+    from cfs_spmv_tpu.native import assemble_sdia
+
+    rng = np.random.default_rng(4)
+    R, D = 7, 5
+    n = 3000
+    g = np.sort(rng.choice(R * 1024, n, replace=False)).astype(np.int64)
+    j = rng.integers(0, D - 2, n).astype(np.int32)
+    val = rng.standard_normal(n).astype(np.float32)
+    ref = np.zeros((R, D, 8, 128), np.float32)
+    ref[g // 1024, j + 1, (g // 128) % 8, g % 128] = val
+    out = np.zeros((R, D, 8, 128), np.float32)
+    assert assemble_sdia(g, j, 1, D, val, out)
+    np.testing.assert_array_equal(ref, out)
