@@ -39,6 +39,7 @@ are OR-combined; a position may carry both roles simultaneously).
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 
@@ -384,6 +385,7 @@ def _sort_entries(row, col):
     # (tile*S + seg)*128 + q == tile*(S*128) + col; build the key with
     # in-place ops — two fewer 8B/entry temporaries (page-fault cost
     # dominates fresh allocations at this host's memory bandwidth)
+    t0 = time.perf_counter()
     S128 = ((int(col.max()) >> 7) + 1) * 128
     key = row >> 7
     key *= S128
@@ -391,6 +393,7 @@ def _sort_entries(row, col):
     order = np.argsort(key, kind="stable")
     rs = row.astype(np.int32)[order]
     cs = col.astype(np.int32)[order]
+    info("bell2: entry sort n=%d %.1fs", len(row), time.perf_counter() - t0)
     return order, rs >> 7, rs & 127, cs >> 7, cs & 127
 
 
@@ -407,6 +410,7 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
     ``group > 1`` packs superchunks — ``group`` consecutive same-tile
     chunks sharing one window table, so the kernel loads the x-window
     stack once per ``group``-chunk run."""
+    t0 = time.perf_counter()
     packed = _native.pack_slots(
         ts, lrs, sgs, qs, max_windows, group=group, contig=contig, rot=rot
     )
@@ -416,6 +420,11 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
             rot=rot,
         )
     e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin = packed
+    info(
+        "bell2: pack n=%d -> %d chunks (mw=%d rot=%d) %.1fs",
+        len(ts), len(chunk_tiles), max_windows, rot,
+        time.perf_counter() - t0,
+    )
     if group > 1:
         # expand superchunk outputs to chunk granularity (windows
         # replicated so every chunk's meta row is self-describing)
@@ -793,6 +802,7 @@ def build_bell2_from_arrays(
             n, m, T, x_rows, dtype, K, BT, cover=cover_all_tiles
         )
 
+    t0 = time.perf_counter()
     row = np.ascontiguousarray(row, np.int64)
     col = np.ascontiguousarray(col, np.int64)
     val = np.asarray(val)
@@ -845,6 +855,7 @@ def build_bell2_from_arrays(
     packed_alt = None
     contig = False
     depth, rot = SUBLANES, 1
+    t_pred = time.perf_counter()
     row_perm = None
     pack_ctx = None
     if slot_ok and avg_per_ts < 24:
@@ -981,6 +992,7 @@ def build_bell2_from_arrays(
             else:
                 depth, rot = SUBLANES, 1
 
+    t_pack = time.perf_counter()
     if not contig:
         depth, rot = SUBLANES, 1
     else:
@@ -1056,9 +1068,12 @@ def build_bell2_from_arrays(
         sparse_stream=not cover_all_tiles,
         row_perm=row_perm,
     )
+    t_asm = time.perf_counter()
     info(
-        "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx",
+        "bell2: %dx%d nnz=%d chunks=%d pad=%.2fx "
+        "(predict %.1fs, pack %.1fs, assemble %.1fs)",
         n, m, nnz, C, plan.padding_ratio,
+        t_pred - t0, t_pack - t_pred, t_asm - t_pack,
     )
     return plan
 

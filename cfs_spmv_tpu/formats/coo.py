@@ -48,9 +48,14 @@ class COO:
             order = np.lexsort((self.col, self.row))  # key would overflow
         else:
             m = np.int64(max(self.ncols, 1))
-            order = np.argsort(
-                self.row.astype(np.int64) * m + self.col, kind="stable"
-            )
+            key = self.row.astype(np.int64) * m
+            key += self.col
+            if len(key) == 0 or bool(np.all(key[1:] > key[:-1])):
+                # already sorted, no duplicates: the common case when a
+                # canonical COO flows into CSR.from_coo — skip the
+                # resort (a full radix pass + 3 gathers at 40M+ nnz)
+                return self
+            order = np.argsort(key, kind="stable")
         r, c, v = self.row[order], self.col[order], self.val[order]
         if len(r):
             keep = np.empty(len(r), bool)

@@ -113,6 +113,7 @@ def _load():
             i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i32p, i32p,
         ]
         lib.cfs_pack_slots_i32.restype = ctypes.c_int64
@@ -120,6 +121,7 @@ def _load():
             i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
             i32p, i32p, i32p, i32p, i64p, i32p, i32p,
         ]
         lib.cfs_assemble_plan.restype = None
@@ -218,10 +220,6 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
     if lib is None:
         return None
     n = len(tile)
-    cap = max(n, 1)
-    chunk_tile = np.zeros(cap, np.int64)
-    windows = np.zeros((cap, 8), np.int32)
-    nwin = np.zeros(cap, np.int32)
     # int32 streams when the caller already holds int32 components
     # (always true for the sorted-context path; < 2^31 rows/cols):
     # halves the packer's memory traffic — the planner's hottest pass
@@ -230,36 +228,49 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
         for a in (tile, lane_r, seg, lane_c)
     )
     if use32:
-        e_chunk = np.zeros(cap, np.int32)
-        e_sub = np.zeros(cap, np.int32)
-        e_r2 = np.zeros(cap, np.int32)
-        e_rc = np.zeros(cap, np.int32)
-        C0 = lib.cfs_pack_slots_i32(
+        fn = lib.cfs_pack_slots_i32
+        args = (
             np.ascontiguousarray(tile, np.int32),
             np.ascontiguousarray(lane_r, np.int32),
             np.ascontiguousarray(seg, np.int32),
             np.ascontiguousarray(lane_c, np.int32),
-            n, max_windows, ring, group, int(contig), rot,
-            e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
         )
+        edt = np.int32
     else:
-        e_chunk = np.zeros(cap, np.int64)
-        e_sub = np.zeros(cap, np.int64)
-        e_r2 = np.zeros(cap, np.int64)
-        e_rc = np.zeros(cap, np.int64)
-        C0 = lib.cfs_pack_slots(
+        fn = lib.cfs_pack_slots
+        args = (
             np.ascontiguousarray(tile, np.int64),
             np.ascontiguousarray(lane_r, np.int64),
             np.ascontiguousarray(seg, np.int64),
             np.ascontiguousarray(lane_c, np.int64),
-            n, max_windows, ring, group, int(contig), rot,
+        )
+        edt = np.int64
+    e_chunk = np.zeros(max(n, 1), edt)
+    e_sub = np.zeros(max(n, 1), edt)
+    e_r2 = np.zeros(max(n, 1), edt)
+    e_rc = np.zeros(max(n, 1), edt)
+    # per-chunk arrays start at a 32x-padding capacity and retry at the
+    # worst case (one chunk per entry) only if exceeded — full-size
+    # upfront was multi-GB of untouched zeros at 80M entries
+    cap = min(max(n // 32, 4096), max(n, 1))
+    while True:
+        chunk_tile = np.zeros(cap, np.int64)
+        windows = np.zeros((cap, 8), np.int32)
+        nwin = np.zeros(cap, np.int32)
+        C0 = fn(
+            *args, n, max_windows, ring, group, int(contig), rot, cap,
             e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
         )
+        if C0 != -2:
+            break
+        cap = max(n, 1)
     if C0 < 0:
         return None
+    # copy the trimmed per-chunk slices so a kept plan never pins the
+    # full-capacity base arrays
     return (
         e_chunk[:n], e_sub[:n], e_r2[:n], e_rc[:n],
-        chunk_tile[:C0], windows[:C0], nwin[:C0],
+        chunk_tile[:C0].copy(), windows[:C0].copy(), nwin[:C0].copy(),
     )
 
 

@@ -186,12 +186,16 @@ int64_t cfs_pack_units(const int64_t *uw_start, const int64_t *uw_end,
 // superchunk count. Templated over the entry index width: the int32
 // instantiation halves the stream traffic of the planner's hottest
 // pass (any matrix with < 2^31 rows/cols/chunks fits).
+// `cap` bounds the per-chunk output arrays (chunk_tile/windows/nwin):
+// returns -2 when the pack would exceed it, so the caller can retry
+// with a larger capacity instead of always allocating n-chunk arrays
+// (3.5 GB of mostly-padding at 80M entries).
 template <typename I>
 static int64_t pack_slots_impl(const I *tile, const I *lane_r,
                                const I *seg, const I *lane_c,
                                int64_t n, int64_t max_windows, int64_t ring,
                                int64_t group, int64_t contig, int64_t rot,
-                               I *e_chunk, I *e_sub, I *e_r2,
+                               int64_t cap, I *e_chunk, I *e_sub, I *e_r2,
                                I *e_rc, int64_t *chunk_tile,
                                int32_t *windows, int32_t *nwin) {
   // contig window ranges may span up to 32 segments (r2 is 5 bits in the
@@ -272,6 +276,10 @@ static int64_t pack_slots_impl(const I *tile, const I *lane_r,
       }
     }
     if (!placed) {
+      if (n_chunks >= cap) {
+        delete[] open;
+        return -2;  // capacity exceeded — caller retries larger
+      }
       // open a new chunk (evict oldest if the ring is full)
       Chunk &ch = (n_open < ring) ? open[(head + n_open++) % ring]
                                   : open[head];
@@ -303,24 +311,25 @@ int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
                        const int64_t *seg, const int64_t *lane_c,
                        int64_t n, int64_t max_windows, int64_t ring,
                        int64_t group, int64_t contig, int64_t rot,
-                       int64_t *e_chunk, int64_t *e_sub, int64_t *e_r2,
-                       int64_t *e_rc, int64_t *chunk_tile,
+                       int64_t cap, int64_t *e_chunk, int64_t *e_sub,
+                       int64_t *e_r2, int64_t *e_rc, int64_t *chunk_tile,
                        int32_t *windows, int32_t *nwin) {
   return pack_slots_impl(tile, lane_r, seg, lane_c, n, max_windows, ring,
-                         group, contig, rot, e_chunk, e_sub, e_r2, e_rc,
-                         chunk_tile, windows, nwin);
+                         group, contig, rot, cap, e_chunk, e_sub, e_r2,
+                         e_rc, chunk_tile, windows, nwin);
 }
 
 int64_t cfs_pack_slots_i32(const int32_t *tile, const int32_t *lane_r,
                            const int32_t *seg, const int32_t *lane_c,
                            int64_t n, int64_t max_windows, int64_t ring,
                            int64_t group, int64_t contig, int64_t rot,
-                           int32_t *e_chunk, int32_t *e_sub, int32_t *e_r2,
-                           int32_t *e_rc, int64_t *chunk_tile,
-                           int32_t *windows, int32_t *nwin) {
+                           int64_t cap, int32_t *e_chunk, int32_t *e_sub,
+                           int32_t *e_r2, int32_t *e_rc,
+                           int64_t *chunk_tile, int32_t *windows,
+                           int32_t *nwin) {
   return pack_slots_impl(tile, lane_r, seg, lane_c, n, max_windows, ring,
-                         group, contig, rot, e_chunk, e_sub, e_r2, e_rc,
-                         chunk_tile, windows, nwin);
+                         group, contig, rot, cap, e_chunk, e_sub, e_r2,
+                         e_rc, chunk_tile, windows, nwin);
 }
 
 // ---------------------------------------------------------------------------
