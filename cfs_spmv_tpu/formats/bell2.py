@@ -218,6 +218,10 @@ def plan_units(row, col, nnz, diag_threshold=DIAG_THRESHOLD):
     tuple encoded as int64, where diagonal units sort before row-segment
     units within a tile — plus each entry's (lane, q, seg).
     """
+    # the unit keys multiply tile by per-tile ranges: int64 throughout
+    # (this path only sees small residual/paired streams)
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
     tile = row >> 7
     lane = row & 127
     seg = col >> 7
@@ -387,12 +391,13 @@ def _sort_entries(row, col):
     # dominates fresh allocations at this host's memory bandwidth)
     t0 = time.perf_counter()
     S128 = ((int(col.max()) >> 7) + 1) * 128
-    key = row >> 7
+    key = row.astype(np.int64, copy=True)
+    key >>= 7
     key *= S128
     key += col
     order = np.argsort(key, kind="stable")
-    rs = row.astype(np.int32)[order]
-    cs = col.astype(np.int32)[order]
+    rs = np.asarray(row, np.int32)[order]
+    cs = np.asarray(col, np.int32)[order]
     info("bell2: entry sort n=%d %.1fs", len(row), time.perf_counter() - t0)
     return order, rs >> 7, rs & 127, cs >> 7, cs & 127
 
@@ -580,8 +585,8 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
         blocks = np.arange(n, dtype=np.int64) // radius
         order = np.lexsort((np.arange(n), -counts, blocks))
         T_out = -(-n // LANES)
-    slot_of_row = np.empty(n, np.int64)
-    slot_of_row[order] = np.arange(n, dtype=np.int64)
+    slot_of_row = np.empty(n, np.int32)
+    slot_of_row[order] = np.arange(n, dtype=np.int32)
     new_row = slot_of_row[row]
     # the grouped layout's lane-count table is just the per-row counts
     # gathered into slot order (slots past T_out*128 are all zero-count
@@ -759,9 +764,9 @@ def build_bell2_plan(
     output aliased to an already-initialized y (the far-stream mode).
     """
     rowlen = np.diff(csr.indptr)
-    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
     return build_bell2_from_arrays(
-        csr.nrows, csr.ncols, row, csr.indices.astype(np.int64),
+        csr.nrows, csr.ncols, row, np.asarray(csr.indices, np.int32),
         np.asarray(csr.data), dtype=dtype,
         chunks_per_step=chunks_per_step, tiles_per_block=tiles_per_block,
         diag_threshold=diag_threshold, cover_all_tiles=cover_all_tiles,
@@ -803,8 +808,17 @@ def build_bell2_from_arrays(
         )
 
     t0 = time.perf_counter()
-    row = np.ascontiguousarray(row, np.int64)
-    col = np.ascontiguousarray(col, np.int64)
+    # int32 entry streams halve the planner's live set (n, m < 2^31
+    # always in this domain); int64 callers keep int64
+    row = np.asarray(row)
+    col = np.asarray(col)
+    idt = (
+        np.int32
+        if row.dtype == np.int32 and col.dtype == np.int32
+        else np.int64
+    )
+    row = np.ascontiguousarray(row, idt)
+    col = np.ascontiguousarray(col, idt)
     val = np.asarray(val)
 
     tile = row >> 7
@@ -816,7 +830,7 @@ def build_bell2_from_arrays(
     # unit-based subrows would sit mostly empty — go straight to the
     # conflict-aware slot packer and skip two full sort pipelines
     slot_ok = _native.available() or nnz <= 2_000_000
-    ts_key = tile * (x_rows + 1) + seg
+    ts_key = tile.astype(np.int64) * (x_rows + 1) + seg
     key_space = T * (x_rows + 1)
     if key_space <= max(4 * nnz, 1 << 26):
         # distinct-count via boolean scatter: two O(nnz) passes instead
@@ -1102,8 +1116,8 @@ def build_general_plan(
             tiles_per_block=tiles_per_block,
         )
     rowlen = np.diff(csr.indptr)
-    row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
-    col = csr.indices.astype(np.int64)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
+    col = np.asarray(csr.indices, np.int32)
     val = np.asarray(csr.data)
     dia_plan, resid = extract_sdia(
         row, col, val, csr.nrows, dtype=dtype, signed=True
@@ -1116,11 +1130,7 @@ def build_general_plan(
     from .coo import COO
 
     rcsr = CSR.from_coo(
-        COO(
-            csr.nrows, csr.ncols,
-            row[resid].astype(np.int64), col[resid].astype(np.int64),
-            val[resid],
-        )
+        COO(csr.nrows, csr.ncols, row[resid], col[resid], val[resid])
     )
     # the post-peel residual is sparse in tiles: build it accumulating
     # so empty tiles get no covering chunks (they would cost as much

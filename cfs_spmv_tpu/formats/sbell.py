@@ -148,8 +148,12 @@ def build_sbell_plan(
 
     lower_csr, diag, _ = csr.split_triangle()
     rowlen = np.diff(lower_csr.indptr)
-    row = np.repeat(np.arange(n, dtype=np.int64), rowlen)
-    col = lower_csr.indices.astype(np.int64)
+    # int32 entry streams end to end (n < 2^31 always): at audikw_1
+    # scale the mirrored far triples and their sort/pack temporaries
+    # are the dominant RSS, and this host slows superlinearly under
+    # memory pressure
+    row = np.repeat(np.arange(n, dtype=np.int32), rowlen)
+    col = np.asarray(lower_csr.indices, np.int32)
     val = np.asarray(lower_csr.data)
     nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
 
@@ -190,7 +194,7 @@ def build_sbell_plan(
     ni = np.flatnonzero(cand)
     if len(ni) and len(ni) >= PAIR_MIN_FRACTION * len(row):
         offn = off[ni]
-        dk = tile[ni] * (int(offn.max()) + 1) + offn
+        dk = tile[ni].astype(np.int64) * (int(offn.max()) + 1) + offn
         _, dinv, dcnt = np.unique(
             dk, return_inverse=True, return_counts=True
         )
@@ -250,7 +254,7 @@ def build_sbell_plan(
     from .bell2 import pack_chunks
 
     off_adj = off - off.min()
-    unit_key = tile * (int(off_adj.max()) + 1) + off_adj
+    unit_key = tile.astype(np.int64) * (int(off_adj.max()) + 1) + off_adj
     # window cap trades kernel cost (stores unroll statically per window)
     # against packing density: try 2 (enough for contiguous bands), widen
     # to 4 when diagonal clusters are scattered (stencils)

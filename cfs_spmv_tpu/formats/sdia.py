@@ -92,6 +92,8 @@ def extract_sdia(
     if len(row) == 0:
         return None, np.ones(0, bool)
     off = row - col
+    if off.dtype == np.int32 and n > (1 << 30):
+        off = off.astype(np.int64)  # off + shift would wrap int32
     # offsets live in [-(n-1), n-1]: one bincount over the shifted key
     # space replaces np.unique's full sort (minutes at 200M+ nnz)
     shift = n - 1
