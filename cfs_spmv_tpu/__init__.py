@@ -9,6 +9,16 @@ over a ``jax.sharding.Mesh``.
 Umbrella module — the analog of the reference's ``include/cfs.hpp``.
 """
 
+import os as _os
+
+# NumPy's transparent-hugepage madvise triggers SYNCHRONOUS kernel
+# compaction on hosts with THP defrag=madvise: every big fresh
+# allocation stalls in-kernel (measured 37x on a 240 MB gather on the
+# v5e build host). Preprocessing is allocation-heavy; opt out unless
+# the user explicitly opted in. Effective only if numpy is not yet
+# imported — harmless otherwise.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from .formats.coo import COO
 from .formats.csr import CSR
 from .matrix import SparseMatrix

@@ -11,6 +11,8 @@ explicitly.
 """
 
 import os
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # THP direct-compaction stalls (see cfs_spmv_tpu/__init__)
+
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
