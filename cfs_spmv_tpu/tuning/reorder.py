@@ -149,21 +149,27 @@ def choose_reorder(csr, *, min_gain: float = 2.0):
     if bw0 <= 2 * 128:  # already block-local
         return None, bw0, bw0
     perm = rcm_permutation(csr)
-    iperm = np.empty_like(perm)
-    iperm[perm] = np.arange(len(perm))
-    coo = csr.to_coo()
-    r, c = iperm[coo.row.astype(np.int64)], iperm[coo.col.astype(np.int64)]
+    iperm = np.empty(len(perm), np.int32)
+    iperm[perm] = np.arange(len(perm), dtype=np.int32)
+    # judge the permutation from the RAW coordinates (two gathers +
+    # |diff|): building the permuted CSR (a full canonicalize) just to
+    # measure its bandwidth was most of the cost of a rejection
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
+    r = iperm[row]
+    c = iperm[np.asarray(csr.indices, np.int32)]
+    bw1 = float(np.abs(r - c).mean()) if csr.nnz else 0.0
+    if bw1 * min_gain > bw0:
+        info("reorder: rcm rejected (bw %.0f -> %.0f)", bw0, bw1)
+        return None, bw0, bw0
     if csr.symmetric:  # keep lower-triangle canonical form
         swap = c > r
         r[swap], c[swap] = c[swap], r[swap].copy()
     from ..formats.coo import COO
 
     permuted = CSR.from_coo(
-        COO(csr.nrows, csr.ncols, r, c, coo.val.copy(), csr.symmetric)
+        COO(csr.nrows, csr.ncols, r, c, np.asarray(csr.data).copy(),
+            csr.symmetric)
     )
-    bw1 = mean_bandwidth(permuted)
-    if bw1 * min_gain > bw0:
-        info("reorder: rcm rejected (bw %.0f -> %.0f)", bw0, bw1)
-        return None, bw0, bw0
     info("reorder: rcm accepted (bw %.0f -> %.0f)", bw0, bw1)
     return (perm, permuted), bw0, bw1
