@@ -830,8 +830,15 @@ def build_bell2_from_arrays(
     # unit-based subrows would sit mostly empty — go straight to the
     # conflict-aware slot packer and skip two full sort pipelines
     slot_ok = _native.available() or nnz <= 2_000_000
-    ts_key = tile.astype(np.int64) * (x_rows + 1) + seg
     key_space = T * (x_rows + 1)
+    kdt = (
+        np.int32
+        if tile.dtype == np.int32 and key_space < (1 << 31)
+        else np.int64
+    )
+    ts_key = tile.astype(kdt, copy=True)
+    ts_key *= kdt(x_rows + 1)
+    ts_key += seg.astype(kdt, copy=False)
     if key_space <= max(4 * nnz, 1 << 26):
         # distinct-count via boolean scatter: two O(nnz) passes instead
         # of a full sort (np.unique) — the predictor was costing more
