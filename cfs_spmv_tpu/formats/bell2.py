@@ -396,6 +396,7 @@ def _sort_entries(row, col):
     key *= S128
     key += col
     order = np.argsort(key, kind="stable")
+    del key  # 8B/entry, dead — keep peak RSS under the host's cliff
     rs = np.asarray(row, np.int32)[order]
     cs = np.asarray(col, np.int32)[order]
     info("bell2: entry sort n=%d %.1fs", len(row), time.perf_counter() - t0)
@@ -848,6 +849,7 @@ def build_bell2_from_arrays(
         n_ts = int(np.count_nonzero(present))
     else:
         n_ts = len(np.unique(ts_key))
+    del ts_key
     avg_per_ts = nnz / max(n_ts, 1)
     if slot_ok and avg_per_ts >= 24:
         # dense tile-segments still slot-pack better when the entries
@@ -1041,6 +1043,7 @@ def build_bell2_from_arrays(
         # written either way — the plan arrays are bit-identical)
         order_p, lane, q = pack_ctx
         val = np.asarray(val)[order_p]
+        del row, col, tile, seg, pack_ctx, order_p  # dead entry streams
 
     remap, C, blk_full = group_pad(
         chunk_tiles, K, BT, min_one_step=cover_all_tiles
