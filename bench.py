@@ -34,10 +34,11 @@ vs_baseline >= 1.0 means every workload meets the BASELINE target
 (>=80% of its HBM roofline).
 """
 
-import os
-os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # THP direct-compaction stalls (see cfs_spmv_tpu/__init__)
-
 from __future__ import annotations
+
+import os
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # THP direct-compaction stalls (see cfs_spmv_tpu/__init__)
 
 import json
 import sys

@@ -382,7 +382,8 @@ def _sort_entries(row, col):
     candidate so each candidate pays only the native pack itself.
     Gathers the two int32 raw streams and derives (tile, lane, seg, q)
     sequentially — half the random-access bytes of gathering four
-    int64 component arrays."""
+    int64 component arrays. Coordinates must fit int32 (< 2^31 rows
+    and cols — guarded by the builder)."""
     if not len(row):
         z = np.zeros(0, np.int32)
         return np.zeros(0, np.int64), z, z, z, z
@@ -809,8 +810,15 @@ def build_bell2_from_arrays(
         )
 
     t0 = time.perf_counter()
-    # int32 entry streams halve the planner's live set (n, m < 2^31
-    # always in this domain); int64 callers keep int64
+    # int32 entry streams halve the planner's live set; the slot
+    # packer's sorted context is int32 regardless of input dtype, so
+    # coordinates beyond int32 are rejected rather than silently
+    # wrapped (n*m/128 must also fit the int64 sort key)
+    if max(n, m) >= (1 << 31):
+        raise ValueError(
+            f"matrix {n}x{m} exceeds the planner's int32 coordinate "
+            "range"
+        )
     row = np.asarray(row)
     col = np.asarray(col)
     idt = (

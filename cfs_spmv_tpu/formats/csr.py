@@ -41,16 +41,21 @@ class CSR:
 
     @staticmethod
     def from_coo(coo: COO) -> "CSR":
+        src = coo
         coo = coo.canonicalize()
         indptr = np.zeros(coo.nrows + 1, dtype=np.int64)
         counts = np.bincount(coo.row, minlength=coo.nrows)
         np.cumsum(counts, out=indptr[1:])
+        # canonicalize may return the input unchanged (already sorted):
+        # copy val then so the CSR never aliases caller-owned buffers
+        # (indices are fresh either way — astype always copies)
+        val = coo.val.copy() if coo is src else coo.val
         return CSR(
             coo.nrows,
             coo.ncols,
             indptr,
             coo.col.astype(np.int32),
-            coo.val,
+            val,
             coo.symmetric,
         )
 

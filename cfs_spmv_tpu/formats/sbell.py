@@ -199,11 +199,13 @@ def build_sbell_plan(
             dk, return_inverse=True, return_counts=True
         )
         pairable[ni] = dcnt[dinv] >= pair_threshold
-    if 0 < pairable.sum() < PAIR_MIN_FRACTION * len(row):
+    n_pair = int(pairable.sum())  # one reduction serves every branch
+    if 0 < n_pair < PAIR_MIN_FRACTION * len(row):
         pairable[:] = False  # not worth a kernel launch
+        n_pair = 0
 
     far_plan = None
-    if pairable.any():
+    if n_pair:
         fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
     else:
         # scattered fast path: no boolean-gather copies of the full
@@ -229,7 +231,7 @@ def build_sbell_plan(
         # rows; the shared x operand must cover it (extra rows are zero)
         x_rows = max(x_rows, far_plan.x_rows)
 
-    if pairable.any():
+    if n_pair:
         row, col, val = row[pairable], col[pairable], val[pairable]
         tile, seg, off = tile[pairable], seg[pairable], off[pairable]
     else:

@@ -145,7 +145,10 @@ def choose_reorder(csr, *, min_gain: float = 2.0):
     mean bandwidth by ``min_gain``x, else None (identity)."""
     from ..formats.csr import CSR
 
-    bw0 = mean_bandwidth(csr)
+    rowlen = np.diff(csr.indptr)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
+    col = np.asarray(csr.indices, np.int32)
+    bw0 = float(np.abs(row - col).mean()) if csr.nnz else 0.0
     if bw0 <= 2 * 128:  # already block-local
         return None, bw0, bw0
     perm = rcm_permutation(csr)
@@ -154,10 +157,8 @@ def choose_reorder(csr, *, min_gain: float = 2.0):
     # judge the permutation from the RAW coordinates (two gathers +
     # |diff|): building the permuted CSR (a full canonicalize) just to
     # measure its bandwidth was most of the cost of a rejection
-    rowlen = np.diff(csr.indptr)
-    row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
     r = iperm[row]
-    c = iperm[np.asarray(csr.indices, np.int32)]
+    c = iperm[col]
     bw1 = float(np.abs(r - c).mean()) if csr.nnz else 0.0
     if bw1 * min_gain > bw0:
         info("reorder: rcm rejected (bw %.0f -> %.0f)", bw0, bw1)
