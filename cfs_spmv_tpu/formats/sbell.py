@@ -207,10 +207,18 @@ def build_sbell_plan(
     far_plan = None
     if n_pair:
         fr0, fc0, fv0 = row[~pairable], col[~pairable], val[~pairable]
+        # slice the (small) paired stream now so the full-stream copies
+        # can be dropped before the far build — peak RSS during that
+        # build is the whole plan's memory ceiling on this host
+        row, col, val = row[pairable], col[pairable], val[pairable]
+        tile, seg, off = tile[pairable], seg[pairable], off[pairable]
     else:
         # scattered fast path: no boolean-gather copies of the full
         # entry stream when everything is far (the audikw shape)
         fr0, fc0, fv0 = row, col, val
+        row, col, val = row[:0], col[:0], val[:0]
+        tile, seg, off = tile[:0], seg[:0], off[:0]
+    del pairable, near, cand, ni, cnt_off
     if len(fr0):
         # mirrored triples go straight to the planner (it sorts by
         # (tile, seg, q) itself) — skips a full canonicalize sort + CSR
@@ -218,25 +226,21 @@ def build_sbell_plan(
         # on scattered matrices
         from .bell2 import build_bell2_from_arrays
 
+        fr = np.concatenate([fr0, fc0])
+        fc = np.concatenate([fc0, fr0])
+        fv = np.concatenate([fv0, fv0])
+        del fr0, fc0, fv0
         far_plan = build_bell2_from_arrays(
-            n, n,
-            np.concatenate([fr0, fc0]),
-            np.concatenate([fc0, fr0]),
-            np.concatenate([fv0, fv0]),
+            n, n, fr, fc, fv,
             dtype=dtype,
             chunks_per_step=min(K, 32), tiles_per_block=BT,
             cover_all_tiles=False, allow_relax=allow_relax,
         )
+        del fr, fc, fv
         # contig-window far plans enlarge their x gather space to >= 8
         # rows; the shared x operand must cover it (extra rows are zero)
         x_rows = max(x_rows, far_plan.x_rows)
 
-    if n_pair:
-        row, col, val = row[pairable], col[pairable], val[pairable]
-        tile, seg, off = tile[pairable], seg[pairable], off[pairable]
-    else:
-        row, col, val = row[:0], col[:0], val[:0]
-        tile, seg, off = tile[:0], seg[:0], off[:0]
     lane_r = row & 127
     lane_c = col & 127
     nnz_paired = len(row)
