@@ -875,8 +875,14 @@ def build_bell2_from_arrays(
         scale = nnz / max(
             len(dk) if isinstance(samp, np.ndarray) else nnz, 1
         )
+        # a diagonal is certified dense only with >= 4 sampled hits:
+        # once scale alone exceeds the threshold (nnz >= 48M at the 1M
+        # sample), a SINGLE hit — which every tiny block diagonal gets
+        # — would certify it, flipping huge scattered matrices onto the
+        # unit pipeline (measured: +25 min at audikw_1 full scale)
         diag_frac = float(
-            dc[dc * scale >= diag_threshold].sum() / max(len(dk), 1)
+            dc[(dc >= 4) & (dc * scale >= diag_threshold)].sum()
+            / max(len(dk), 1)
         )
         if diag_frac < 0.5:
             avg_per_ts = 0.0  # force the slot packer
