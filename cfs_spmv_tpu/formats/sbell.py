@@ -34,6 +34,7 @@ Packed int32 bit layout per (subrow i, lane j):
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 
@@ -146,6 +147,7 @@ def build_sbell_plan(
     T = max(1, -(-n // LANES))
     x_rows = T
 
+    t0 = time.perf_counter()
     lower_csr, diag, _ = csr.split_triangle()
     rowlen = np.diff(lower_csr.indptr)
     # int32 entry streams end to end (n < 2^31 always): at audikw_1
@@ -174,6 +176,7 @@ def build_sbell_plan(
         if dia_plan is not None:
             row, col, val = row[resid], col[resid], val[resid]
 
+    t_dia = time.perf_counter()
     tile = row >> 7
     seg = col >> 7
     off = row - col  # > 0 (strict lower)
@@ -219,6 +222,11 @@ def build_sbell_plan(
         row, col, val = row[:0], col[:0], val[:0]
         tile, seg, off = tile[:0], seg[:0], off[:0]
     del pairable, near, cand, ni, cnt_off
+    t_pair = time.perf_counter()
+    info(
+        "sbell: split+dia %.1fs pair %.1fs",
+        t_dia - t0, t_pair - t_dia,
+    )
     if len(fr0):
         # mirrored triples go straight to the planner (it sorts by
         # (tile, seg, q) itself) — skips a full canonicalize sort + CSR

@@ -175,11 +175,15 @@ def tune(
         and csr.nrows == csr.ncols
         and csr.nnz
     ):
+        import time as _time
+
         from .reorder import choose_reorder
 
+        _t0 = _time.perf_counter()
         res, _, _ = choose_reorder(
             csr, min_gain=2.0 if reorder == "auto" else 1.0
         )
+        info("tune: reorder decision %.1fs", _time.perf_counter() - _t0)
         if res is not None:
             perm, csr = res
 
