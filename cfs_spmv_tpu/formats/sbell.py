@@ -148,15 +148,24 @@ def build_sbell_plan(
     x_rows = T
 
     t0 = time.perf_counter()
-    lower_csr, diag, _ = csr.split_triangle()
-    rowlen = np.diff(lower_csr.indptr)
-    # int32 entry streams end to end (n < 2^31 always): at audikw_1
-    # scale the mirrored far triples and their sort/pack temporaries
-    # are the dominant RSS, and this host slows superlinearly under
-    # memory pressure
-    row = np.repeat(np.arange(n, dtype=np.int32), rowlen)
-    col = np.asarray(lower_csr.indices, np.int32)
-    val = np.asarray(lower_csr.data)
+    # direct lower/diag split on the raw CSR arrays (int32 streams,
+    # n < 2^31 always): symmetric storage has no upper triangle, so
+    # split_triangle's COO round-trip and two CSR rebuilds are ~8
+    # avoidable passes over the whole entry set at Queen scale
+    row_all = np.repeat(np.arange(n, dtype=np.int32), np.diff(csr.indptr))
+    col_all = np.asarray(csr.indices, np.int32)
+    data = np.asarray(csr.data)
+    on = row_all == col_all
+    diag = np.zeros(n, dtype=data.dtype)
+    diag[row_all[on]] = data[on]
+    if on.any():
+        keep = ~on
+        row, col, val = row_all[keep], col_all[keep], data[keep]
+        del keep
+    else:
+        row, col, val = row_all, col_all, data.copy()
+    del row_all, col_all, on
+    assert not np.any(row < col), "SSS storage must be lower-triangle"
     nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
 
     dia_plan = None
