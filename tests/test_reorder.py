@@ -96,3 +96,29 @@ def test_disconnected_components():
     )
     perm = rcm_permutation(csr)
     assert sorted(perm) == list(range(n))
+
+
+def test_sampled_gate_banded_early_exit():
+    """Above 4M nnz the block-local early exit runs on a 1M sample:
+    a plain band must still be rejected without RCM."""
+    n, half_bw = 600_000, 8
+    rows = np.repeat(np.arange(n, dtype=np.int64), half_bw)
+    offs = np.tile(np.arange(1, half_bw + 1, dtype=np.int64), n)
+    cols = rows - offs
+    keep = cols >= 0
+    r = np.concatenate([rows[keep], np.arange(n, dtype=np.int64)])
+    c = np.concatenate([cols[keep], np.arange(n, dtype=np.int64)])
+    v = np.ones(len(r), np.float32)
+    csr = CSR.from_coo(COO(n, n, r, c, v, symmetric=True))
+    assert csr.nnz > 4_000_000
+    res, bw0, bw1 = choose_reorder(csr)
+    assert res is None and bw0 <= 1.8 * 128
+
+
+def test_sampled_gate_hidden_band_still_reordered():
+    """A shuffled band above the sampling threshold must still reach
+    the full RCM evaluation (sampled bandwidth is far above the gate)."""
+    csr = shuffled_band(n=300_000, half_bw=14, seed=3)
+    assert csr.nnz > 4_000_000
+    res, bw0, bw1 = choose_reorder(csr)
+    assert res is not None and bw1 * 2.0 <= bw0
