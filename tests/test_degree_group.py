@@ -217,3 +217,33 @@ def test_dist_plans_stay_unpermuted():
     csr = _powerlaw_csr(seed=8, n=2000)
     plan = build_bell2_plan(csr, dtype=np.float32, allow_relax=False)
     assert plan.row_perm is None
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_grouped_perm_targets_only_visited_blocks(seed):
+    """Static sentinel invariant (the property only REAL TPU kernels
+    can violate at runtime): every non-sentinel unpermute target must
+    live in a block the sparse grid visits — unvisited blocks hold
+    garbage on hardware (the interpreter zeros them, hiding bugs)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2_000, 9_000))
+    csr = _powerlaw_csr(
+        n=n, seed=seed + 10,
+        dense_rows=int(rng.integers(2, 12)),
+        dense_deg=int(rng.integers(150, 700)),
+    )
+    plan = build_bell2_plan(csr, dtype=np.float32)
+    if plan.row_perm is None:
+        pytest.skip("grouping did not trigger")
+    perm = plan.row_perm
+    sentinel = plan.num_row_tiles * 128
+    live = perm[perm < sentinel]
+    assert np.all(perm <= sentinel)
+    visited = np.zeros(-(-plan.num_row_tiles // plan.tiles_per_block), bool)
+    visited[np.unique(plan.step_block)] = True
+    assert np.all(visited[(live >> 7) // plan.tiles_per_block]), (
+        "unpermute target in an unvisited (garbage) output block"
+    )
+    # and every row with entries must be reachable (not sentinel)
+    rowlen = np.diff(csr.indptr)
+    assert np.all(perm[rowlen > 0] < sentinel)
