@@ -173,6 +173,12 @@ def read_mmf(
     ):
         raise ValueError("coordinate out of declared bounds")
 
+    if max(nrows, ncols) < (1 << 31):
+        # narrow BEFORE the symmetric mirror doubles the arrays: the
+        # transient int64 coordinate set is ~2.5 GB at audikw_1 scale
+        row = row.astype(np.int32)
+        col = col.astype(np.int32)
+
     if symmetric:
         # canonicalize the stored triangle to lower (row >= col)
         swap = col > row
@@ -186,7 +192,14 @@ def read_mmf(
                 np.concatenate([val, val[off]]),
             )
 
-    order = np.lexsort((col, row))  # sort by (row, col), ref mmf.hpp:305
+    # sort by (row, col), ref mmf.hpp:305 — one combined-key radix pass
+    # instead of two mergesorts when the key fits int64
+    if nrows <= (2**62) // max(ncols, 1):
+        order = np.argsort(
+            row.astype(np.int64) * max(ncols, 1) + col, kind="stable"
+        )
+    else:
+        order = np.lexsort((col, row))
     row = row[order].astype(index_dtype)
     col = col[order].astype(index_dtype)
     val = val[order]
