@@ -44,7 +44,6 @@ from .bell2 import (
     META_W,
     SUBLANES,
     Bell2Plan,
-    build_bell2_plan,
     group_pad,
 )
 from .coo import COO

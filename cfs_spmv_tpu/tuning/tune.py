@@ -14,7 +14,7 @@ from typing import Callable
 
 import numpy as np
 
-from ..formats.bell2 import build_bell2_plan
+
 from ..formats.csr import CSR
 from ..formats.sbell import build_sbell_plan
 from ..ops import spmv as spmv_ops
