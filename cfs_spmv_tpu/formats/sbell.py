@@ -38,6 +38,7 @@ import time
 
 import numpy as np
 
+from .. import native as _native
 from ..utils.logging import info
 from .bell2 import (
     LANES,
@@ -48,7 +49,15 @@ from .bell2 import (
 )
 from .coo import COO
 from .csr import CSR
-from .sdia import SDIA_FILL, SDIA_MIN_COUNT, SDiaPlan, extract_sdia
+from .sdia import (
+    SDIA_FILL,
+    SDIA_MAX_D,
+    SDIA_MIN_COUNT,
+    SDiaPlan,
+    extract_sdia,
+    sdia_shell,
+    select_offsets,
+)
 
 __all__ = ["SBellPlan", "build_sbell_plan", "PAIR_THRESHOLD"]
 
@@ -147,42 +156,94 @@ def build_sbell_plan(
     x_rows = T
 
     t0 = time.perf_counter()
-    # direct lower/diag split on the raw CSR arrays (int32 streams,
-    # n < 2^31 always): symmetric storage has no upper triangle, so
-    # split_triangle's COO round-trip and two CSR rebuilds are ~8
-    # avoidable passes over the whole entry set at Queen scale
-    row_all = np.repeat(np.arange(n, dtype=np.int32), np.diff(csr.indptr))
-    col_all = np.asarray(csr.indices, np.int32)
-    data = np.asarray(csr.data)
-    on = row_all == col_all
-    diag = np.zeros(n, dtype=data.dtype)
-    diag[row_all[on]] = data[on]
-    if on.any():
-        keep = ~on
-        row, col, val = row_all[keep], col_all[keep], data[keep]
-        del keep
-    else:
-        row, col, val = row_all, col_all, data.copy()
-    del row_all, col_all, on
-    assert not np.any(row < col), "SSS storage must be lower-triangle"
-    nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+    from .sdia import SDIA_SYM_ROWS_MAX
 
-    dia_plan = None
-    if dia and len(row):
-        from .sdia import SDIA_SYM_ROWS_MAX
-
-        dia_plan, resid = extract_sdia(
-            row, col, val, n, dtype=dtype, fill=dia_fill,
-            min_count=dia_min_count,
-            # past the whole-y-in-VMEM ceiling, mirror the diagonals and
-            # run the blocked-y one-sided kernel (removes the ~12M-row
-            # cliff at 2x diagonal value traffic)
-            mirror=(
-                n > SDIA_SYM_ROWS_MAX if dia_mirror is None else dia_mirror
-            ),
+    # past the whole-y-in-VMEM ceiling, mirror the diagonals and run
+    # the blocked-y one-sided kernel (removes the ~12M-row cliff at 2x
+    # diagonal value traffic)
+    mirror = n > SDIA_SYM_ROWS_MAX if dia_mirror is None else dia_mirror
+    counts = _native.sym_off_counts(csr.indptr, csr.indices, n)
+    if counts is not None:
+        # native fast path: TWO CSR passes do the whole diagonal split
+        # + dense-diagonal selection + SDIA fill + residual emission
+        # (the NumPy formulation below costs ~18 full passes — minutes
+        # at Queen scale on this host)
+        cnt_by_off, ndiag_struct = counts
+        data_c = np.ascontiguousarray(np.asarray(csr.data, dtype))
+        offsets = None
+        if dia and csr.nnz:
+            uniq = np.flatnonzero(cnt_by_off)
+            offsets = select_offsets(
+                uniq, cnt_by_off[uniq], n, fill=dia_fill,
+                min_count=dia_min_count, max_d=SDIA_MAX_D,
+                mirror=mirror, signed=False,
+            )
+        dmap = np.full(n, -1, np.int32)
+        dia_plan = None
+        if offsets is not None:
+            vals_sh, D, D0, all_offsets = sdia_shell(
+                n, offsets, mirror, dtype
+            )
+            dmap[offsets] = np.arange(len(offsets), dtype=np.int32)
+            nnz_dia = int(cnt_by_off[offsets].sum())
+        else:
+            vals_sh = np.zeros(1, dtype)
+            D = D0 = nnz_dia = 0
+        n_res = csr.nnz - ndiag_struct - nnz_dia
+        diag = np.zeros(n, dtype)
+        rrow = np.empty(max(n_res, 1), np.int32)
+        rcol = np.empty(max(n_res, 1), np.int32)
+        rval = np.empty(max(n_res, 1), dtype)
+        nres = _native.sym_split_fill(
+            csr.indptr, csr.indices, data_c, n, D, D0, dmap,
+            mirror and offsets is not None, vals_sh, diag,
+            rrow, rcol, rval,
         )
-        if dia_plan is not None:
-            row, col, val = row[resid], col[resid], val[resid]
+        assert nres == n_res, (nres, n_res)
+        row, col, val = rrow[:n_res], rcol[:n_res], rval[:n_res]
+        del data_c, dmap
+        if offsets is not None:
+            dia_plan = SDiaPlan(
+                n, all_offsets, vals_sh, nnz_dia * (2 if mirror else 1)
+            )
+            info(
+                "sdia: %d diagonals%s, nnz=%d (%.1f%% of stored), "
+                "pad=%.2fx",
+                D, " (mirrored)" if mirror else "", dia_plan.nnz,
+                100 * nnz_dia / max(csr.nnz, 1), dia_plan.padding_ratio,
+            )
+        nnz_full = 2 * (csr.nnz - ndiag_struct) + int(
+            np.count_nonzero(diag)
+        )
+    else:
+        # NumPy fallback (no toolchain, or strict-upper entries found —
+        # the latter fails the assert below as before)
+        row_all = np.repeat(
+            np.arange(n, dtype=np.int32), np.diff(csr.indptr)
+        )
+        col_all = np.asarray(csr.indices, np.int32)
+        data = np.asarray(csr.data)
+        on = row_all == col_all
+        diag = np.zeros(n, dtype=data.dtype)
+        diag[row_all[on]] = data[on]
+        if on.any():
+            keep = ~on
+            row, col, val = row_all[keep], col_all[keep], data[keep]
+            del keep
+        else:
+            row, col, val = row_all, col_all, data.copy()
+        del row_all, col_all, on
+        assert not np.any(row < col), "SSS storage must be lower-triangle"
+        nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+
+        dia_plan = None
+        if dia and len(row):
+            dia_plan, resid = extract_sdia(
+                row, col, val, n, dtype=dtype, fill=dia_fill,
+                min_count=dia_min_count, mirror=mirror,
+            )
+            if dia_plan is not None:
+                row, col, val = row[resid], col[resid], val[resid]
 
     t_dia = time.perf_counter()
     tile = row >> 7

@@ -65,6 +65,47 @@ class SDiaPlan:
         return self.vals.nbytes
 
 
+def select_offsets(uniq, cnt, n, *, fill, min_count, max_d, mirror,
+                   signed):
+    """Dense-diagonal selection shared by the NumPy and native
+    extraction paths: offsets whose count clears both the absolute and
+    the fill-fraction threshold, heaviest-first truncated to the plane
+    budget. Returns the selected offsets or None."""
+    length = np.maximum(n - np.abs(uniq), 1)
+    ok = (cnt >= min_count) & (cnt >= fill * length)
+    if not signed and not mirror:
+        ok &= uniq > 0
+    if ok.sum() > max_d // (2 if mirror else 1):
+        # keep the heaviest diagonals
+        order = np.argsort(cnt[ok])[::-1][: max_d // (2 if mirror else 1)]
+        keep_ids = np.flatnonzero(ok)[order]
+        ok = np.zeros_like(ok)
+        ok[keep_ids] = True
+    if not ok.any():
+        return None
+    return uniq[ok]
+
+
+def sdia_shell(n, offsets, mirror, dtype):
+    """Zeroed (R, D, 8, 128) value planes + geometry for a selected
+    diagonal set (R padded to the kernel's blocks-per-step)."""
+    from ..ops.sdia_kernel import _blocks_per_step
+
+    R = -(-n // BLOCK_ROWS)
+    D0 = len(offsets)
+    D = 2 * D0 if mirror else D0
+    RB = _blocks_per_step(R, D)
+    R = -(-R // RB) * RB
+    vals = np.zeros((R, D, SUBLANES, LANES), dtype)
+    if mirror:
+        all_offsets = tuple(int(d) for d in offsets) + tuple(
+            -int(d) for d in offsets
+        )
+    else:
+        all_offsets = tuple(int(d) for d in offsets)
+    return vals, D, D0, all_offsets
+
+
 def extract_sdia(
     row: np.ndarray,
     col: np.ndarray,
@@ -101,35 +142,19 @@ def extract_sdia(
     cnt_full = np.bincount(key, minlength=2 * n - 1)
     uniq = np.flatnonzero(cnt_full) - shift
     cnt = cnt_full[uniq + shift]
-    length = np.maximum(n - np.abs(uniq), 1)
-    ok = (cnt >= min_count) & (cnt >= fill * length)
-    if not signed and not mirror:
-        ok &= uniq > 0
-    if ok.sum() > max_d // (2 if mirror else 1):
-        # keep the heaviest diagonals
-        order = np.argsort(cnt[ok])[::-1][: max_d // (2 if mirror else 1)]
-        keep_ids = np.flatnonzero(ok)[order]
-        ok = np.zeros_like(ok)
-        ok[keep_ids] = True
-    if not ok.any():
+    offsets = select_offsets(
+        uniq, cnt, n, fill=fill, min_count=min_count, max_d=max_d,
+        mirror=mirror, signed=signed,
+    )
+    if offsets is None:
         return None, np.ones(len(row), bool)
-
-    offsets = uniq[ok]
     ok_full = np.zeros(2 * n - 1, bool)
     ok_full[offsets + shift] = True
     sel = ok_full[key]
     dmap_full = np.full(2 * n - 1, -1, np.int32)
     dmap_full[offsets + shift] = np.arange(len(offsets), dtype=np.int32)
 
-    from ..ops.sdia_kernel import _blocks_per_step
-
-    R = -(-n // BLOCK_ROWS)
-    D0 = len(offsets)
-    D = 2 * D0 if mirror else D0
-    # pad R so the kernel can process RB blocks per grid step
-    RB = _blocks_per_step(R, D)
-    R = -(-R // RB) * RB
-    vals = np.zeros((R, D, SUBLANES, LANES), dtype)
+    vals, D, D0, all_offsets = sdia_shell(n, offsets, mirror, dtype)
     g = row[sel]
     j = dmap_full[key[sel]]
     val_c = np.ascontiguousarray(val[sel].astype(dtype))
@@ -146,11 +171,6 @@ def extract_sdia(
         if not _native.assemble_sdia(gc, j, D0, D, val_c, vals):
             vals[gc // BLOCK_ROWS, D0 + j,
                  (gc // LANES) % SUBLANES, gc % LANES] = val_c
-        all_offsets = tuple(int(d) for d in offsets) + tuple(
-            -int(d) for d in offsets
-        )
-    else:
-        all_offsets = tuple(int(d) for d in offsets)
     plan = SDiaPlan(n, all_offsets, vals, int(sel.sum()) * (2 if mirror else 1))
     info(
         "sdia: %d diagonals%s, nnz=%d (%.1f%% of stored), pad=%.2fx",

@@ -135,6 +135,16 @@ def _load():
             i64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.cfs_sym_off_counts.restype = ctypes.c_int64
+        lib.cfs_sym_off_counts.argtypes = [
+            i64p, i32p, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.cfs_sym_split_fill.restype = ctypes.c_int64
+        lib.cfs_sym_split_fill.argtypes = [
+            i64p, i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, i32p, i32p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -403,3 +413,46 @@ def assemble_sdia(g, j, joff, D, val, vals):
         vals.ctypes.data_as(ctypes.c_void_p),
     )
     return True
+
+
+def sym_off_counts(indptr, indices, n):
+    """Per-offset strict-lower counts + structural diagonal count in one
+    CSR pass (csrc cfs_sym_off_counts). Returns (cnt, ndiag) with cnt of
+    length n (cnt[d] = entries on sub-diagonal d), or None when native
+    is unavailable or a strict-upper entry exists."""
+    lib = _load()
+    if lib is None:
+        return None
+    cnt = np.zeros(n, np.int64)
+    nd = np.zeros(1, np.int64)
+    rc = lib.cfs_sym_off_counts(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        n, cnt, nd,
+    )
+    if rc < 0:
+        return None
+    return cnt, int(nd[0])
+
+
+def sym_split_fill(indptr, indices, data, n, D, D0, dmap, mirror,
+                   vals, diag, rrow, rcol, rval):
+    """One-pass symmetric split + SDIA fill (csrc cfs_sym_split_fill):
+    diagonal values to ``diag``, selected sub-diagonals into ``vals``
+    (optionally mirrored into plane D0+j by column), the rest appended
+    to the residual triples. ``data`` must be in the plan value dtype.
+    Returns the residual count, or None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data)
+    assert diag.dtype == data.dtype and rval.dtype == data.dtype
+    return int(lib.cfs_sym_split_fill(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        data.ctypes.data_as(ctypes.c_void_p), data.itemsize, n,
+        D, D0, np.ascontiguousarray(dmap, np.int32), int(mirror),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        diag.ctypes.data_as(ctypes.c_void_p),
+        rrow, rcol, rval.ctypes.data_as(ctypes.c_void_p),
+    ))

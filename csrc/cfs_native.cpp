@@ -365,6 +365,75 @@ void cfs_assemble_plan(const int32_t *ec, const int32_t *e_sub,
 }
 
 // ---------------------------------------------------------------------------
+// Symmetric split + SDIA extraction (formats/sbell.py build_sbell_plan).
+//
+// The NumPy formulation of "separate the diagonal, select dense
+// sub-diagonals, scatter them into the SDIA planes, emit the residual
+// triples" costs ~18 full passes over the entry set in temporaries;
+// these two routines do it in one counting pass + one fill pass over
+// the raw CSR arrays.
+
+// Pass A: per-offset entry counts of the strict lower triangle
+// (cnt[d] for d = i - col in [1, n)) plus the structural diagonal
+// count. Returns -1 if any strict-UPPER entry exists (SSS storage
+// must be lower-triangle — mirrors the Python assert).
+int64_t cfs_sym_off_counts(const int64_t *indptr, const int32_t *indices,
+                           int64_t n, int64_t *cnt, int64_t *ndiag_out) {
+  int64_t ndiag = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t d = i - (int64_t)indices[k];
+      if (d == 0) {
+        ++ndiag;
+      } else if (d > 0) {
+        ++cnt[d];
+      } else {
+        return -1;
+      }
+    }
+  }
+  *ndiag_out = ndiag;
+  return 0;
+}
+
+// Pass B: route every entry — diagonal values to diag[i], entries on
+// selected sub-diagonals (dmap[d] >= 0) into the (R, D, 8, 128) SDIA
+// value planes (optionally mirrored into plane D0 + dmap[d] scattered
+// by column), everything else appended to the residual triple arrays.
+// `data` must already be in the plan's value dtype (es bytes/elem).
+// Returns the residual count.
+int64_t cfs_sym_split_fill(const int64_t *indptr, const int32_t *indices,
+                           const char *data, int64_t es, int64_t n,
+                           int64_t D, int64_t D0, const int32_t *dmap,
+                           int64_t mirror, char *vals, char *diag,
+                           int32_t *rrow, int32_t *rcol, char *rval) {
+  int64_t r = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t c = (int64_t)indices[k];
+      const int64_t d = i - c;
+      if (d == 0) {
+        memcpy(diag + i * es, data + k * es, es);
+      } else if (dmap[d] >= 0) {
+        const int64_t j = dmap[d];
+        memcpy(vals + ((((i >> 10) * D + j) << 10) | (i & 1023)) * es,
+               data + k * es, es);
+        if (mirror)
+          memcpy(
+              vals + ((((c >> 10) * D + D0 + j) << 10) | (c & 1023)) * es,
+              data + k * es, es);
+      } else {
+        rrow[r] = (int32_t)i;
+        rcol[r] = (int32_t)c;
+        memcpy(rval + r * es, data + k * es, es);
+        ++r;
+      }
+    }
+  }
+  return r;
+}
+
+// ---------------------------------------------------------------------------
 // SDIA value fill (formats/sdia.py extract_sdia).
 //
 // Scatters val[i] into the (R, D, 8, 128) diagonal-plane layout at row

@@ -274,3 +274,50 @@ def test_assemble_sdia_matches_numpy_scatter():
     out = np.zeros((R, D, 8, 128), np.float32)
     assert assemble_sdia(g, j, 1, D, val, out)
     np.testing.assert_array_equal(ref, out)
+
+
+@requires_native
+@pytest.mark.parametrize("mirror", [False, True])
+def test_sym_split_fill_matches_numpy_path(mirror, monkeypatch):
+    """The one-pass native symmetric split + SDIA fill must produce the
+    same plan as the NumPy formulation (diag, diagonal planes, residual
+    stream)."""
+    from cfs_spmv_tpu.formats import sbell as sb
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    # dense band (absorbed by SDIA) + scattered residual + partial diag
+    rows = [np.arange(1, n, dtype=np.int64), np.arange(3, n, dtype=np.int64)]
+    cols = [np.arange(1, n, dtype=np.int64) - 1,
+            np.arange(3, n, dtype=np.int64) - 3]
+    sr = rng.integers(1, n, 3000)
+    sc = (sr - rng.integers(1, 900, 3000)).clip(0)
+    m = sr > sc
+    rows.append(sr[m]); cols.append(sc[m])
+    d = rng.choice(n, n // 2, replace=False)
+    rows.append(d); cols.append(d)
+    row = np.concatenate(rows); col = np.concatenate(cols)
+    val = rng.standard_normal(len(row))
+    coo = COO(n, n, row, col, val, symmetric=True).canonicalize()
+    csr = CSR.from_coo(coo)
+
+    plan_nat = sb.build_sbell_plan(csr, dtype=np.float32, dia_mirror=mirror)
+    monkeypatch.setattr(native, "sym_off_counts", lambda *a, **k: None)
+    plan_np = sb.build_sbell_plan(csr, dtype=np.float32, dia_mirror=mirror)
+
+    np.testing.assert_array_equal(
+        plan_nat.diag.astype(np.float32), plan_np.diag.astype(np.float32)
+    )
+    assert (plan_nat.dia is None) == (plan_np.dia is None)
+    if plan_nat.dia is not None:
+        assert plan_nat.dia.offsets == plan_np.dia.offsets
+        np.testing.assert_array_equal(plan_nat.dia.vals, plan_np.dia.vals)
+    assert (plan_nat.far is None) == (plan_np.far is None)
+    if plan_nat.far is not None:
+        np.testing.assert_array_equal(plan_nat.far.vals, plan_np.far.vals)
+        np.testing.assert_array_equal(
+            plan_nat.far.packed, plan_np.far.packed
+        )
+    np.testing.assert_array_equal(plan_nat.vals, plan_np.vals)
+    np.testing.assert_array_equal(plan_nat.packed, plan_np.packed)
+    assert plan_nat.nnz_full == plan_np.nnz_full
