@@ -135,6 +135,10 @@ def _load():
             i64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.cfs_sym_adjacency.restype = None
+        lib.cfs_sym_adjacency.argtypes = [
+            i64p, i32p, ctypes.c_int64, i64p, i32p,
+        ]
         lib.cfs_sym_off_counts.restype = ctypes.c_int64
         lib.cfs_sym_off_counts.argtypes = [
             i64p, i32p, ctypes.c_int64, i64p, i64p,
@@ -456,3 +460,20 @@ def sym_split_fill(indptr, indices, data, n, D, D0, dmap, mirror,
         diag.ctypes.data_as(ctypes.c_void_p),
         rrow, rcol, rval.ctypes.data_as(ctypes.c_void_p),
     ))
+
+
+def sym_adjacency(indptr, indices, n, nnz_strict):
+    """Symmetrized adjacency (indptr, indices) of a lower-triangle CSR
+    in two native passes (csrc cfs_sym_adjacency); self-loops dropped.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    adj_indptr = np.zeros(n + 1, np.int64)
+    adj_indices = np.empty(max(2 * nnz_strict, 1), np.int32)
+    lib.cfs_sym_adjacency(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        n, adj_indptr, adj_indices,
+    )
+    return adj_indptr, adj_indices

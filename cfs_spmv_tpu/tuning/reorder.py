@@ -25,6 +25,15 @@ __all__ = ["rcm_permutation", "mean_bandwidth", "choose_reorder"]
 def _sym_pattern(csr):
     """Upper+lower adjacency (indptr, indices) of the symmetrized graph,
     self-loops removed."""
+    if csr.symmetric:
+        from .. import native as _native
+
+        nat = _native.sym_adjacency(
+            csr.indptr, csr.indices, csr.nrows, csr.nnz
+        )
+        if nat is not None:
+            indptr, indices = nat
+            return indptr, indices[: indptr[-1]]
     rowlen = np.diff(csr.indptr)
     row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
     col = csr.indices.astype(np.int64)

@@ -434,6 +434,39 @@ int64_t cfs_sym_split_fill(const int64_t *indptr, const int32_t *indices,
 }
 
 // ---------------------------------------------------------------------------
+// Symmetrized adjacency from lower-triangle CSR (tuning/reorder.py
+// _sym_pattern): both directions of every strict-lower edge, self-loops
+// dropped — two passes instead of the mirrored-concatenate + argsort
+// over 2*nnz int64 keys. Neighbor order within a row is arbitrary
+// (RCM's level ordering sorts by (parent, degree, index) itself).
+void cfs_sym_adjacency(const int64_t *indptr, const int32_t *indices,
+                       int64_t n, int64_t *adj_indptr,
+                       int32_t *adj_indices) {
+  // pass 1: degrees into adj_indptr[1..n] (caller supplies zeros)
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t c = (int64_t)indices[k];
+      if (c != i) {
+        ++adj_indptr[i + 1];
+        ++adj_indptr[c + 1];
+      }
+    }
+  for (int64_t i = 0; i < n; ++i) adj_indptr[i + 1] += adj_indptr[i];
+  int64_t *cur = new int64_t[n];
+  memcpy(cur, adj_indptr, n * sizeof(int64_t));
+  // pass 2: fill both directions
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t c = (int64_t)indices[k];
+      if (c != i) {
+        adj_indices[cur[i]++] = (int32_t)c;
+        adj_indices[cur[c]++] = (int32_t)i;
+      }
+    }
+  delete[] cur;
+}
+
+// ---------------------------------------------------------------------------
 // SDIA value fill (formats/sdia.py extract_sdia).
 //
 // Scatters val[i] into the (R, D, 8, 128) diagonal-plane layout at row

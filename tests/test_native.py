@@ -321,3 +321,25 @@ def test_sym_split_fill_matches_numpy_path(mirror, monkeypatch):
     np.testing.assert_array_equal(plan_nat.vals, plan_np.vals)
     np.testing.assert_array_equal(plan_nat.packed, plan_np.packed)
     assert plan_nat.nnz_full == plan_np.nnz_full
+
+
+@requires_native
+def test_sym_adjacency_same_rcm_perm(monkeypatch):
+    """Native adjacency (arbitrary neighbor order) must yield the same
+    RCM permutation as the sorted NumPy edge list."""
+    from cfs_spmv_tpu.tuning import reorder as ro
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    r = rng.integers(1, n, 8000)
+    c = (r - rng.integers(1, 200, 8000)).clip(0)
+    m = r > c
+    d = np.arange(n)
+    row = np.concatenate([r[m], d]); col = np.concatenate([c[m], d])
+    csr = CSR.from_coo(COO(n, n, row, col,
+                           np.ones(len(row), np.float32),
+                           symmetric=True).canonicalize())
+    p_nat = ro.rcm_permutation(csr)
+    monkeypatch.setattr(native, "sym_adjacency", lambda *a, **k: None)
+    p_np = ro.rcm_permutation(csr)
+    np.testing.assert_array_equal(p_nat, p_np)
