@@ -246,31 +246,42 @@ def build_sbell_plan(
                 row, col, val = row[resid], col[resid], val[resid]
 
     t_dia = time.perf_counter()
-    tile = row >> 7
-    seg = col >> 7
-    off = row - col  # > 0 (strict lower)
-
     # pairable: same output block AND dense-enough exact diagonal.
-    # Count diagonals over NEAR entries only — scattered matrices have
-    # few near entries, so the (tile, off) unique runs over a small
-    # slice instead of the full stream (the count is what the predicate
-    # tests anyway: far entries of a diagonal can't join its pair run)
-    near = (tile // BT) == (seg // BT)
+    # Per-offset counts bound (and for the post-SDIA residual, equal —
+    # SDIA absorbs whole diagonals) the per-(tile, off) counts, so the
+    # keyed unique runs only over surviving candidates. The candidate
+    # mask itself is one native pass; tile/seg/off materialize only for
+    # the (small) surviving streams.
     pairable = np.zeros(len(row), bool)
-    # global per-offset counts bound the per-(tile, off) counts from
-    # above: entries whose whole diagonal is below the pair threshold
-    # can never pair, so scattered matrices skip the keyed unique
-    # entirely (one bincount over the bounded offset space instead)
-    cnt_off = np.bincount(off, minlength=n + 1)
-    cand = near & (cnt_off[off] >= pair_threshold)
-    ni = np.flatnonzero(cand)
-    if len(ni) and len(ni) >= PAIR_MIN_FRACTION * len(row):
-        offn = off[ni]
-        dk = tile[ni].astype(np.int64) * (int(offn.max()) + 1) + offn
+    if counts is not None:
+        cnt_off = cnt_by_off  # exact per-offset counts from pass A
+    else:
+        cnt_off = np.bincount(row - col, minlength=n + 1)
+    off_ok = cnt_off >= pair_threshold
+    ncand = 0
+    cand = None
+    if len(row):
+        nat = _native.pair_candidates(row, col, BT * LANES, off_ok)
+        if nat is not None:
+            cand, ncand = nat
+        else:
+            NB = BT * LANES
+            cand = (row // NB == col // NB) & off_ok[
+                (row - col).astype(np.int64)
+            ]
+            ncand = int(cand.sum())
+    if ncand and ncand >= PAIR_MIN_FRACTION * len(row):
+        ni = np.flatnonzero(cand)
+        rown, coln = row[ni], col[ni]
+        offn = rown - coln
+        dk = (
+            (rown >> 7).astype(np.int64) * (int(offn.max()) + 1) + offn
+        )
         _, dinv, dcnt = np.unique(
             dk, return_inverse=True, return_counts=True
         )
         pairable[ni] = dcnt[dinv] >= pair_threshold
+        del ni, rown, coln, offn, dk
     n_pair = int(pairable.sum())  # one reduction serves every branch
     if 0 < n_pair < PAIR_MIN_FRACTION * len(row):
         pairable[:] = False  # not worth a kernel launch
@@ -283,14 +294,13 @@ def build_sbell_plan(
         # can be dropped before the far build — peak RSS during that
         # build is the whole plan's memory ceiling on this host
         row, col, val = row[pairable], col[pairable], val[pairable]
-        tile, seg, off = tile[pairable], seg[pairable], off[pairable]
     else:
         # scattered fast path: no boolean-gather copies of the full
         # entry stream when everything is far (the audikw shape)
         fr0, fc0, fv0 = row, col, val
         row, col, val = row[:0], col[:0], val[:0]
-        tile, seg, off = tile[:0], seg[:0], off[:0]
-    del pairable, near, cand, ni, cnt_off
+    tile, seg, off = row >> 7, col >> 7, row - col
+    del pairable, cand, cnt_off, off_ok
     t_pair = time.perf_counter()
     info(
         "sbell: split+dia %.1fs pair %.1fs",

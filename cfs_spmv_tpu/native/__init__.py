@@ -135,6 +135,11 @@ def _load():
             i64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.cfs_pair_candidates.restype = ctypes.c_int64
+        lib.cfs_pair_candidates.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+        ]
         lib.cfs_sym_adjacency.restype = None
         lib.cfs_sym_adjacency.argtypes = [
             i64p, i32p, ctypes.c_int64, i64p, i32p,
@@ -477,3 +482,21 @@ def sym_adjacency(indptr, indices, n, nnz_strict):
         n, adj_indptr, adj_indices,
     )
     return adj_indptr, adj_indices
+
+
+def pair_candidates(row, col, nb128, off_ok):
+    """Pairable-candidate mask in one pass (csrc cfs_pair_candidates):
+    same output block AND per-offset predicate. Returns (cand bool
+    array, count) or None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    nr = len(row)
+    cand = np.empty(max(nr, 1), np.uint8)
+    m = lib.cfs_pair_candidates(
+        np.ascontiguousarray(row, np.int32),
+        np.ascontiguousarray(col, np.int32),
+        nr, nb128,
+        np.ascontiguousarray(off_ok, np.uint8), cand,
+    )
+    return cand[:nr].view(bool), int(m)

@@ -434,6 +434,26 @@ int64_t cfs_sym_split_fill(const int64_t *indptr, const int32_t *indices,
 }
 
 // ---------------------------------------------------------------------------
+// Pairable-candidate mask (formats/sbell.py): entry i is a candidate
+// when its endpoints share one tiles_per_block output block AND its
+// whole diagonal clears the pair threshold (off_ok[row-col], an exact
+// per-offset predicate from cfs_sym_off_counts). One pass instead of
+// ~6 NumPy mask/divide passes over the residual stream.
+int64_t cfs_pair_candidates(const int32_t *row, const int32_t *col,
+                            int64_t nr, int64_t nb128,
+                            const uint8_t *off_ok, uint8_t *cand) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < nr; ++i) {
+    const int64_t r = row[i], c = col[i];
+    const uint8_t v =
+        (r / nb128 == c / nb128) && off_ok[r - c];
+    cand[i] = v;
+    m += v;
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // Symmetrized adjacency from lower-triangle CSR (tuning/reorder.py
 // _sym_pattern): both directions of every strict-lower edge, self-loops
 // dropped — two passes instead of the mirrored-concatenate + argsort
