@@ -252,37 +252,46 @@ def build_sbell_plan(
     # keyed unique runs only over surviving candidates. The candidate
     # mask itself is one native pass; tile/seg/off materialize only for
     # the (small) surviving streams.
-    pairable = np.zeros(len(row), bool)
     if counts is not None:
         cnt_off = cnt_by_off  # exact per-offset counts from pass A
     else:
         cnt_off = np.bincount(row - col, minlength=n + 1)
     off_ok = cnt_off >= pair_threshold
-    ncand = 0
-    cand = None
-    if len(row):
-        nat = _native.pair_candidates(row, col, BT * LANES, off_ok)
-        if nat is not None:
-            cand, ncand = nat
-        else:
+    nat = (
+        _native.pair_mark(row, col, n, BT * LANES, off_ok, pair_threshold)
+        if len(row)
+        else None
+    )
+    if nat is not None:
+        pairable, n_pair = nat
+    else:
+        # NumPy fallback: candidate mask, then per-(tile, off) counts
+        # via a keyed unique over the candidates
+        pairable = np.zeros(len(row), bool)
+        n_pair = 0
+        if len(row):
             NB = BT * LANES
             cand = (row // NB == col // NB) & off_ok[
                 (row - col).astype(np.int64)
             ]
-            ncand = int(cand.sum())
-    if ncand and ncand >= PAIR_MIN_FRACTION * len(row):
-        ni = np.flatnonzero(cand)
-        rown, coln = row[ni], col[ni]
-        offn = rown - coln
-        dk = (
-            (rown >> 7).astype(np.int64) * (int(offn.max()) + 1) + offn
-        )
-        _, dinv, dcnt = np.unique(
-            dk, return_inverse=True, return_counts=True
-        )
-        pairable[ni] = dcnt[dinv] >= pair_threshold
-        del ni, rown, coln, offn, dk
-    n_pair = int(pairable.sum())  # one reduction serves every branch
+            ni = np.flatnonzero(cand)
+            if len(ni):
+                rown, coln = row[ni], col[ni]
+                offn = rown - coln
+                dk = (
+                    (rown >> 7).astype(np.int64) * (int(offn.max()) + 1)
+                    + offn
+                )
+                _, dinv, dcnt = np.unique(
+                    dk, return_inverse=True, return_counts=True
+                )
+                pairable[ni] = dcnt[dinv] >= pair_threshold
+                n_pair = int(pairable.sum())
+            del cand, ni
+    info(
+        "sbell: pair %d/%d %.1fs", n_pair, len(row),
+        time.perf_counter() - t_dia,
+    )
     if 0 < n_pair < PAIR_MIN_FRACTION * len(row):
         pairable[:] = False  # not worth a kernel launch
         n_pair = 0
@@ -300,7 +309,7 @@ def build_sbell_plan(
         fr0, fc0, fv0 = row, col, val
         row, col, val = row[:0], col[:0], val[:0]
     tile, seg, off = row >> 7, col >> 7, row - col
-    del pairable, cand, cnt_off, off_ok
+    del pairable, cnt_off, off_ok
     t_pair = time.perf_counter()
     info(
         "sbell: split+dia %.1fs pair %.1fs",

@@ -136,9 +136,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.cfs_pair_candidates.restype = ctypes.c_int64
-        lib.cfs_pair_candidates.argtypes = [
-            i32p, i32p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+        lib.cfs_pair_mark.restype = ctypes.c_int64
+        lib.cfs_pair_mark.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, u8p,
+            ctypes.c_int64, i32p, u8p,
         ]
         lib.cfs_sym_adjacency.restype = None
         lib.cfs_sym_adjacency.argtypes = [
@@ -484,19 +485,23 @@ def sym_adjacency(indptr, indices, n, nnz_strict):
     return adj_indptr, adj_indices
 
 
-def pair_candidates(row, col, nb128, off_ok):
-    """Pairable-candidate mask in one pass (csrc cfs_pair_candidates):
-    same output block AND per-offset predicate. Returns (cand bool
-    array, count) or None when native is unavailable."""
+def pair_mark(row, col, n, nb128, off_ok, threshold):
+    """Full pairable marking in one native pass over the row-major
+    residual stream (csrc cfs_pair_mark): same output block, per-offset
+    predicate, AND per-(tile, offset) fragment count >= threshold.
+    Returns (pairable bool array, count) or None when native is
+    unavailable."""
     lib = _load()
     if lib is None:
         return None
     nr = len(row)
-    cand = np.empty(max(nr, 1), np.uint8)
-    m = lib.cfs_pair_candidates(
+    pairable = np.zeros(max(nr, 1), np.uint8)
+    scratch = np.zeros(n, np.int32)
+    m = lib.cfs_pair_mark(
         np.ascontiguousarray(row, np.int32),
         np.ascontiguousarray(col, np.int32),
         nr, nb128,
-        np.ascontiguousarray(off_ok, np.uint8), cand,
+        np.ascontiguousarray(off_ok, np.uint8), threshold,
+        scratch, pairable,
     )
-    return cand[:nr].view(bool), int(m)
+    return pairable[:nr].view(bool), int(m)

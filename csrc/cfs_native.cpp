@@ -434,23 +434,40 @@ int64_t cfs_sym_split_fill(const int64_t *indptr, const int32_t *indices,
 }
 
 // ---------------------------------------------------------------------------
-// Pairable-candidate mask (formats/sbell.py): entry i is a candidate
-// when its endpoints share one tiles_per_block output block AND its
-// whole diagonal clears the pair threshold (off_ok[row-col], an exact
-// per-offset predicate from cfs_sym_off_counts). One pass instead of
-// ~6 NumPy mask/divide passes over the residual stream.
-int64_t cfs_pair_candidates(const int32_t *row, const int32_t *col,
-                            int64_t nr, int64_t nb128,
-                            const uint8_t *off_ok, uint8_t *cand) {
-  int64_t m = 0;
-  for (int64_t i = 0; i < nr; ++i) {
-    const int64_t r = row[i], c = col[i];
-    const uint8_t v =
-        (r / nb128 == c / nb128) && off_ok[r - c];
-    cand[i] = v;
-    m += v;
+// Pairable marking (formats/sbell.py): entry i pairs when its
+// endpoints share one tiles_per_block output block, its whole diagonal
+// clears the pair threshold (off_ok[row-col], exact per-offset counts
+// from cfs_sym_off_counts), AND its per-(tile, offset) fragment count
+// clears the threshold too. Entries arrive row-major, hence
+// tile-contiguous: three mini-sweeps per tile against an n-slot
+// scratch (count candidates per offset, mark, zero) replace the keyed
+// np.unique over every candidate — which on block-scattered matrices
+// is nearly the whole stream.
+int64_t cfs_pair_mark(const int32_t *row, const int32_t *col, int64_t nr,
+                      int64_t nb128, const uint8_t *off_ok, int64_t th,
+                      int32_t *scratch, uint8_t *pairable) {
+  int64_t total = 0;
+  int64_t i = 0;
+  while (i < nr) {
+    const int32_t t = row[i] >> 7;
+    int64_t j = i;
+    while (j < nr && (row[j] >> 7) == t) ++j;
+    for (int64_t k = i; k < j; ++k) {
+      const int64_t r = row[k], c = col[k];
+      const int64_t d = r - c;
+      const uint8_t cd = (r / nb128 == c / nb128) && off_ok[d];
+      pairable[k] = cd;
+      if (cd) ++scratch[d];
+    }
+    for (int64_t k = i; k < j; ++k) {
+      const uint8_t v = pairable[k] && scratch[row[k] - col[k]] >= th;
+      pairable[k] = v;
+      total += v;
+    }
+    for (int64_t k = i; k < j; ++k) scratch[row[k] - col[k]] = 0;
+    i = j;
   }
-  return m;
+  return total;
 }
 
 // ---------------------------------------------------------------------------

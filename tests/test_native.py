@@ -303,6 +303,7 @@ def test_sym_split_fill_matches_numpy_path(mirror, monkeypatch):
 
     plan_nat = sb.build_sbell_plan(csr, dtype=np.float32, dia_mirror=mirror)
     monkeypatch.setattr(native, "sym_off_counts", lambda *a, **k: None)
+    monkeypatch.setattr(native, "pair_mark", lambda *a, **k: None)
     plan_np = sb.build_sbell_plan(csr, dtype=np.float32, dia_mirror=mirror)
 
     np.testing.assert_array_equal(
