@@ -703,13 +703,16 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     return best[0], best[1], run_len, best[2], best[3], ctx
 
 
-def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
+def _pad_tile_runs(chunk_tiles, windows, nwin, run):
     """Pad every tile's chunk count to a ``run`` multiple (empty chunks
     contribute zeros) so kernel runs never straddle tiles. Assumes
-    chunk_tiles is tile-sorted; preserves intra-tile order."""
+    chunk_tiles is tile-sorted; preserves intra-tile order. Returns the
+    (per-chunk) remap vector WITHOUT applying it to the entry stream —
+    the caller composes it with the block-padding remap so the 77M+
+    entry array is gathered once, not twice."""
     C0 = len(chunk_tiles)
     if C0 == 0 or run <= 1:
-        return e_chunk, chunk_tiles, windows, nwin
+        return None, chunk_tiles, windows, nwin
     uniq, start = np.unique(chunk_tiles, return_index=True)
     cnt = np.diff(np.append(start, C0))
     padded = -(-cnt // run) * run
@@ -723,7 +726,7 @@ def _pad_tile_runs(e_chunk, chunk_tiles, windows, nwin, run):
     new_windows[remap] = windows
     new_nwin = np.zeros(C, np.int32)
     new_nwin[remap] = nwin
-    return remap.astype(e_chunk.dtype)[e_chunk], new_tiles, new_windows, new_nwin
+    return remap.astype(np.int32), new_tiles, new_windows, new_nwin
 
 
 def group_pad(chunk_tiles, K, BT, *, min_one_step=True):
@@ -945,6 +948,7 @@ def build_bell2_from_arrays(
     wmax = SUBLANES
     shared_windows = False
     e_rc = None
+    run_remap = None  # run padding's chunk remap, composed at assembly
     if packed_alt is not None:
         info(
             "bell2: slot packing (%.1f nnz per tile-seg, contig=%s, "
@@ -957,8 +961,8 @@ def build_bell2_from_arrays(
         if run_pick > 1:
             # runs batch same-tile chunks: one flush per run
             run_len = run_pick
-            (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
-                e_chunk, chunk_tiles, windows, nwin, run_len
+            (run_remap, chunk_tiles, windows, nwin) = _pad_tile_runs(
+                chunk_tiles, windows, nwin, run_len
             )
     else:
         unit_key, tile, lane, q, seg = plan_units(
@@ -1023,8 +1027,9 @@ def build_bell2_from_arrays(
                     wmax = slot_windows
                 if run_pick > 1:
                     run_len = run_pick
-                    (e_chunk, chunk_tiles, windows, nwin) = _pad_tile_runs(
-                        e_chunk, chunk_tiles, windows, nwin, run_len
+                    (run_remap, chunk_tiles, windows,
+                     nwin) = _pad_tile_runs(
+                        chunk_tiles, windows, nwin, run_len
                     )
             else:
                 depth, rot = SUBLANES, 1
@@ -1041,7 +1046,10 @@ def build_bell2_from_arrays(
         w0 = windows[:, 0].astype(np.int64)
         delta = np.maximum(0, w0 - (x_rows - depth))
         if delta.any():
-            e_r2 = e_r2 + delta.astype(e_r2.dtype)[e_chunk]
+            # e_chunk is in pre-run-padding space; pull the per-chunk
+            # delta back through the (small) run remap
+            dvec = delta if run_remap is None else delta[run_remap]
+            e_r2 = e_r2 + dvec.astype(e_r2.dtype)[e_chunk]
             base = (w0 - delta).astype(np.int32)
             windows = base[:, None] + np.arange(
                 SUBLANES, dtype=np.int32
@@ -1077,7 +1085,10 @@ def build_bell2_from_arrays(
     # job in one entry pass; the NumPy scatters below are its
     # bit-identical fallback.
     packed = np.zeros((C, SUBLANES, LANES), np.int16)
-    ec = remap.astype(np.int32)[e_chunk]
+    cr = remap.astype(np.int32)
+    if run_remap is not None:
+        cr = cr[run_remap]  # compose: pre-pad chunk -> final chunk
+    ec = cr[e_chunk]
     val_c = np.ascontiguousarray(np.asarray(val, dtype))
     if not _native.assemble_plan(
         ec, e_sub, e_r2, e_rc if e_rc is not None else e_r2,
