@@ -137,6 +137,12 @@ class Bell2Plan:
     #: conflict balancing (``csr_matrix.tpp:2009-2363``) for the
     #: dense-row/variance case the lane-pinned layout cannot absorb.
     row_perm: np.ndarray | None = None  # (nrows,) int32
+    #: Pallas unpermute plan for grouped streams (``_build_unperm`` /
+    #: ``ops/bell2_kernel.unperm_gather_tiles``): per-1024-row out-block
+    #: slab lists + per-row packed gather words. Replaces the XLA 1-D
+    #: gather, which measured ~7 ns/row on v5e (BENCH_r03 regression).
+    unperm_pk: np.ndarray | None = None  # (nb*8, 128) int32
+    unperm_slabs: np.ndarray | None = None  # (nb, W<=16) int32
     #: optional signed-offset dense-diagonal stream peeled off a general
     #: square matrix (SDiaPlan; ops/sdia_kernel.sdia_gen_tiles) — the
     #: general-matrix analog of the symmetric SDIA peel
@@ -464,19 +470,28 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
     return e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin
 
 
-#: one-sided kernel cost model (v5e cycles/chunk), measured round 2:
-#: ~9.3 with a contiguous-range window slab (one dynamic (8,128) load),
-#: ~11.4 with 8 separate window-row loads. Used only to RANK packing
-#: candidates — identical across native/Python packers so plans stay
-#: reproducible.
+#: one-sided kernel cost model (v5e cycles/chunk; 1 "cycle" here is the
+#: ~1.25 ns/chunk unit implied by the round-3 hardware measurements:
+#: 11.8 ns/chunk contig @ K=128). Used only to RANK packing candidates —
+#: identical across native/Python packers so plans stay reproducible.
 _CYC_CONTIG = 9.3
 _CYC_DISTINCT = 11.4
-#: relaxed-packing datapath increments (v5e estimates, to be re-measured
-#: on hardware): each extra (8,128) slab in a deep window stack costs one
-#: more dynamic load + gather + select; each extra lane-rotation group
-#: costs one compare-select per chunk plus an amortized roll per run.
-_CYC_SLAB = 1.8
+#: relaxed-packing datapath increments, MEASURED round 3 on v5e (kb2/kb5
+#: ablations, audikw proxy): an extra (8,128) slab in a deep window
+#: stack costs ~0.34 ns/chunk = ~0.27 cyc (depth-16 grouped plan
+#: 15.02 ns/chunk vs 14.68 contig-8 at K=32); rotation stays a trace
+#: estimate (no plan has adopted it since) — kept pessimistic.
+_CYC_SLAB = 0.3
 _CYC_ROT = 1.0
+#: unpermute cost of degree-grouped plans, per 1024-row out-block of the
+#: Pallas window-row kernel (ops/bell2_kernel.unperm_gather_tiles):
+#: ~(base + per-window-row) vector ops per block. Round 2 shipped the
+#: XLA 1-D gather at an assumed ~0.03 cyc/row; MEASURED round 3:
+#: ~5.6 cyc/row (647 us for 90k rows — it turned the grouped audikw
+#: plan from a 25% win into a 4.7x loss, BENCH_r02/r03). The Pallas
+#: kernel replaces it.
+_CYC_UNPERM_BASE = 4.0
+_CYC_UNPERM_SLAB = 4.0
 
 
 def _cyc_per_chunk(depth, rot):
@@ -517,30 +532,110 @@ def _tile_size_floor(tbl):
     return int(np.ceil(tbl.sum(axis=1) / (SUBLANES * LANES)).sum())
 
 
+def _degree_class(counts):
+    """Monotone degree-class key for grouped row ordering.
+
+    Exact ceil(count/8) up to class 8 — every count in one class shares
+    ceil(max/8), so class-bucketed ordering is FLOOR-EXACT there — and
+    geometric (x1.25) above, which bounds the number of distinct classes
+    (and therefore each out-block's unpermute slab count) at a few
+    percent floor cost on heavy tails. Within a class rows keep their
+    original order, so each out-block's slots form one contiguous run
+    per class — the structural guarantee behind the O(1)-slab unpermute
+    kernel (``_build_unperm``)."""
+    c = -(-counts // SUBLANES).astype(np.int64)
+    exact = 32  # classes 1..32 exact (degrees <= 256)
+    big = c > exact
+    if np.any(big):
+        c = c.copy()
+        c[big] = exact + np.ceil(
+            np.log(c[big] / exact) / np.log(1.25)
+        ).astype(np.int64)
+    return c
+
+
 def _perm_floor_chunks(counts):
-    """Lane floor achievable by degree-grouped row tiling: rows sorted
-    by descending stream degree, 128 per tile — each tile's binding
-    lane multiplicity is its first (heaviest) row. Returns (floor,
+    """Lane floor achievable by degree-grouped row tiling (rows ordered
+    by descending degree CLASS, original order within a class — the
+    layout ``_try_degree_grouping`` actually builds). Returns (floor,
     compact tile count)."""
-    nz = np.sort(counts[counts > 0])[::-1]
+    nz = counts[counts > 0]
     if len(nz) == 0:
         return 1, 1
-    Tc = -(-len(nz) // LANES)
-    heads = nz[::LANES]
+    srt = nz[np.argsort(-_degree_class(nz), kind="stable")]
+    Tc = -(-len(srt) // LANES)
+    heads = np.maximum.reduceat(srt, np.arange(0, len(srt), LANES))
     return int(np.ceil(heads / SUBLANES).sum()), Tc
 
 
 def _radius_floor(counts, radius):
-    """Lane floor when rows are degree-sorted only WITHIN each
+    """Lane floor when rows are class-sorted only WITHIN each
     ``radius``-row neighborhood (locality-preserving grouping)."""
     n = len(counts)
     nb = -(-n // radius)
     cpad = np.concatenate(
         [counts, np.zeros(nb * radius - n, counts.dtype)]
     ).reshape(nb, radius)
-    srt = -np.sort(-cpad, axis=1)
-    heads = srt[:, ::LANES]
+    order = np.argsort(-_degree_class(cpad.ravel()).reshape(nb, radius),
+                       axis=1, kind="stable")
+    srt = np.take_along_axis(cpad, order, axis=1)
+    heads = srt.reshape(nb, radius // LANES, LANES).max(axis=2)
     return int(np.ceil(heads / SUBLANES).sum())
+
+
+#: unpermute kernel slab capacity: one 1024-row out-block may source its
+#: slots from at most this many (8, 128) slabs of the grouped output
+#: (r2 = w*8 + sub needs w < 16 to fit bits 7-13 of the int32 word)
+_UNPERM_WMAX = 16
+
+
+def _build_unperm(perm, sentinel):
+    """Window-row unpermute plan for ``unperm_gather_tiles``.
+
+    Per 1024-row out-block: the (1, 128) tile rows of the grouped output
+    its live slots touch (class-bucketed grouping keeps each block's
+    slots in one contiguous run per degree class, so this list stays
+    short), plus a per-row packed word q | w<<7 (w = index into the
+    block's window-row list, q = slot lane) or -1 for rows that must
+    read exact 0. Returns (pk2d (nb*8, 128) int32, rows (nb, W) int32,
+    W), or None when some block needs more than ``_UNPERM_WMAX`` window
+    rows (the caller then rejects grouping entirely)."""
+    n = len(perm)
+    nb = -(-n // (SUBLANES * LANES))
+    live = perm < sentinel
+    p64 = perm.astype(np.int64)
+    blk = np.arange(n, dtype=np.int64) >> 10
+    key = (blk << 32) | (p64 >> 7)
+    uniq = np.unique(key[live])
+    if len(uniq) == 0:
+        return None
+    ub = uniq >> 32
+    cnt = np.bincount(ub, minlength=nb)
+    W = int(cnt.max())
+    if W > _UNPERM_WMAX:
+        return None
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    rows = np.zeros((nb, W), np.int32)
+    rows[ub, np.arange(len(uniq)) - starts[ub]] = (
+        uniq & 0xFFFFFFFF
+    ).astype(np.int32)
+    pk = np.full(nb * SUBLANES * LANES, -1, np.int32)
+    li = np.flatnonzero(live)
+    w_of = (
+        np.searchsorted(uniq, key[li]) - starts[blk[li]]
+    ).astype(np.int64)
+    pl64 = p64[li]
+    pk[li] = ((pl64 & 127) | (w_of << 7)).astype(np.int32)
+    return pk.reshape(nb * SUBLANES, LANES), rows, W
+
+
+def _unperm_cost_cyc(unp, n):
+    """Modeled unpermute kernel cycles (see _CYC_UNPERM_*)."""
+    if unp is None:
+        return float("inf")
+    nb = unp[1].shape[0]
+    return nb * (_CYC_UNPERM_BASE + _CYC_UNPERM_SLAB * unp[2])
 
 
 #: locality-preserving grouping radii tried besides global compaction:
@@ -564,7 +659,11 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
     is sparse (blocks without chunks are skipped); rows living in
     skipped blocks are routed to the zero sentinel at apply time."""
     counts = np.bincount(row, minlength=n)
-    margin = max(1, n // 512)
+    # optimistic unpermute charge for the early gate (W >= 2 slabs)
+    margin = int(
+        (-(-n // 1024)) * (_CYC_UNPERM_BASE + 2 * _CYC_UNPERM_SLAB)
+        / _CYC_CONTIG
+    ) + 1
     floor_g, Tc = _perm_floor_chunks(counts)
     cands = [(None, floor_g)]
     for R in _GROUP_RADII:
@@ -579,13 +678,14 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
         ((r, f) for r, f in cands if f <= 1.05 * best_floor),
         key=lambda rf: (rf[0] is None, rf[0] or 0),
     )
+    cls = _degree_class(counts)
     if radius is None:
-        order = np.argsort(-counts, kind="stable")
+        order = np.argsort(-cls, kind="stable")
         T_out = Tc
     else:
-        # block-local degree sort: (block asc, degree desc, row asc)
+        # block-local class sort: (block asc, class desc, row asc)
         blocks = np.arange(n, dtype=np.int64) // radius
-        order = np.lexsort((np.arange(n), -counts, blocks))
+        order = np.lexsort((np.arange(n), -cls, blocks))
         T_out = -(-n // LANES)
     slot_of_row = np.empty(n, np.int32)
     slot_of_row[order] = np.arange(n, dtype=np.int32)
@@ -615,11 +715,19 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
         perm = np.where(
             visited[(slot_of_row >> 7) // BT], slot_of_row, sentinel
         )
-    cost = len(pk[4]) * _cyc_per_chunk(depth, rot) + margin * _CYC_CONTIG
+    perm = perm.astype(np.int32)
+    unp = _build_unperm(perm, sentinel)
+    if unp is None:
+        # some out-block would exceed the unpermute kernel's slab
+        # capacity — grouping is not available for this structure
+        return None
+    cost = len(pk[4]) * _cyc_per_chunk(depth, rot) + _unperm_cost_cyc(
+        unp, n
+    )
     return dict(
         pk=pk, contig=contig, run_pick=run_pick, depth=depth, rot=rot,
-        T=T_out, ctx=ctx, perm=perm.astype(np.int32),
-        cost=cost, radius=radius,
+        T=T_out, ctx=ctx, perm=perm,
+        cost=cost, radius=radius, unperm=unp,
     )
 
 
@@ -897,6 +1005,7 @@ def build_bell2_from_arrays(
     depth, rot = SUBLANES, 1
     t_pred = time.perf_counter()
     row_perm = None
+    unperm = None
     pack_ctx = None
     if slot_ok and avg_per_ts < 24:
         grp = None
@@ -936,7 +1045,7 @@ def build_bell2_from_arrays(
             else:
                 grp = None
         if grp is not None:
-            T, row_perm = grp["T"], grp["perm"]
+            T, row_perm, unperm = grp["T"], grp["perm"], grp["unperm"]
             # global compaction packs a dense tile prefix; radius mode
             # keeps a sparse grid (skipped blocks read 0 via sentinel)
             cover_all_tiles = grp["radius"] is None
@@ -1022,6 +1131,7 @@ def build_bell2_from_arrays(
                 if grp_pick is not None:
                     T = grp_pick["T"]
                     row_perm = grp_pick["perm"]
+                    unperm = grp_pick["unperm"]
                     cover_all_tiles = grp_pick["radius"] is None
                 if allow_runs:
                     wmax = slot_windows
@@ -1116,6 +1226,8 @@ def build_bell2_from_arrays(
         window_depth=depth, lane_rot=rot,
         sparse_stream=not cover_all_tiles,
         row_perm=row_perm,
+        unperm_pk=None if unperm is None else unperm[0],
+        unperm_slabs=None if unperm is None else unperm[1],
     )
     t_asm = time.perf_counter()
     info(

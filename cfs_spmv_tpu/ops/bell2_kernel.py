@@ -42,6 +42,8 @@ __all__ = [
     "bell2_spmm_tiles_accum",
     "sbell_spmv_tiles",
     "sbell_spmm_tiles",
+    "unperm_gather_tiles",
+    "unperm_gather_tiles_mm",
 ]
 
 
@@ -586,6 +588,107 @@ def bell2_spmm_tiles(
         x3d,
     )
     return out[:, :num_row_tiles]
+
+
+def _unperm_body(rows_ref, pk, g2, W, b=None):
+    """(8, 128) unpermuted values for one 1024-row out-block.
+
+    pk packs q (bits 0-6) | w (bits 7+, index into the block's window-row
+    list) per original row; -1 rows emit exact 0 (absent rows, rows in
+    unvisited blocks of sparse grouped grids). Each window row is one
+    (1, 128) tile row of the grouped output; its values are lane-gathered
+    by q (the index lives AT the out position, so — unlike the stream
+    kernels' two-step gather, whose q/r2 occupy different logical
+    positions — no packing discipline is needed) and selected where the
+    out row's window index matches. Class-bucketed grouping keeps each
+    block's slot runs contiguous, so W stays small
+    (``formats/bell2._build_unperm``)."""
+    w_of = pk >> 7  # -1 rows go negative: never matches a window
+    q = pk & 0x7F
+    out = None
+    for w in range(W):
+        src = (
+            g2[pl.ds(rows_ref[0, 0, w], 1), :]
+            if b is None
+            else g2[b, pl.ds(rows_ref[0, 0, w], 1), :]
+        )
+        Hw = _take_i32(
+            jnp.broadcast_to(src, (SUBLANES, LANES)), q, axis=1
+        )
+        out = Hw if out is None else jnp.where(w_of == w, Hw, out)
+    return jnp.where(pk < 0, jnp.zeros_like(out), out)
+
+
+def _unperm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W):
+    y_ref[...] = _unperm_body(rows_ref, pk_ref[...], g2_ref, W)
+
+
+def _unperm_mm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, n_rhs):
+    pk = pk_ref[...]
+    for b in range(n_rhs):
+        y_ref[b, :, :] = _unperm_body(rows_ref, pk, g2_ref, W, b=b)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+@_no_x64
+def unperm_gather_tiles(pk2d, rows, g_tiles, *, W: int,
+                        interpret: bool = False):
+    """(nb*8, 128) original-order y tiles from grouped output tiles.
+
+    The O(n) unpermute of degree-grouped plans. XLA's elementwise 1-D
+    gather costs ~7 ns/row on v5e (647 us at 90k rows — it dominated the
+    round-2 grouped plans, BENCH_r02/r03); this kernel runs ~4 vector
+    ops per window row per 1024-row block instead."""
+    nb = rows.shape[0]
+    return pl.pallas_call(
+        functools.partial(_unperm_kernel, W=W),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, W), _i32map(lambda g: (g, 0, 0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((SUBLANES, LANES), _i32map(lambda g: (g, 0))),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (SUBLANES, LANES), _i32map(lambda g: (g, 0))
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb * SUBLANES, LANES), g_tiles.dtype
+        ),
+        interpret=interpret,
+    )(rows.reshape(nb, 1, W), pk2d, g_tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+@_no_x64
+def unperm_gather_tiles_mm(pk2d, rows, g_tiles, *, W: int,
+                           interpret: bool = False):
+    """(B, nb*8, 128) unpermuted Y tiles from grouped (B, T, 128)."""
+    nb = rows.shape[0]
+    B = g_tiles.shape[0]
+    return pl.pallas_call(
+        functools.partial(_unperm_mm_kernel, W=W, n_rhs=B),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, W), _i32map(lambda g: (g, 0, 0)),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((SUBLANES, LANES), _i32map(lambda g: (g, 0))),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (B, SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, nb * SUBLANES, LANES), g_tiles.dtype
+        ),
+        interpret=interpret,
+    )(rows.reshape(nb, 1, W), pk2d, g_tiles)
 
 
 def _sbell_transpose_part(pk, v, xw):

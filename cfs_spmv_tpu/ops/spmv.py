@@ -26,6 +26,8 @@ from .bell2_kernel import (
     bell2_spmv_tiles_accum,
     sbell_spmm_tiles,
     sbell_spmv_tiles,
+    unperm_gather_tiles,
+    unperm_gather_tiles_mm,
 )
 from .sdia_kernel import (
     sdia_gen_tiles,
@@ -94,9 +96,14 @@ class Bell2Device:
     )
     #: degree-grouped row tiling: (nrows,) int32 slot of each original
     #: row in the compact permuted output (sentinel num_row_tiles*128
-    #: for rows absent from the stream); apply unpermutes with one
-    #: gather against the zero-extended flat output
+    #: for rows absent from the stream). Apply unpermutes with the
+    #: Pallas slab-window kernel when unperm_* are present; the XLA
+    #: elementwise gather (measured ~7 ns/row on v5e) remains only as
+    #: the legacy fallback for pre-v13 cached plans.
     row_perm: Any = None
+    unperm_pk: Any = None  # (nb*8, 128) int32
+    unperm_slabs: Any = None  # (nb, W) int32
+    unperm_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     dia_vals: Any = None  # signed-offset dense-diagonal stream (general)
     dia_offsets: tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -153,6 +160,12 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         has_work=plan.nnz > 0,
         row_perm=None if plan.row_perm is None
         else jnp.asarray(plan.row_perm),
+        unperm_pk=None if plan.unperm_pk is None
+        else jnp.asarray(plan.unperm_pk),
+        unperm_slabs=None if plan.unperm_slabs is None
+        else jnp.asarray(plan.unperm_slabs),
+        unperm_w=0 if plan.unperm_slabs is None
+        else int(plan.unperm_slabs.shape[1]),
         dia_vals=None if plan.dia is None else jnp.asarray(plan.dia.vals),
         dia_offsets=() if plan.dia is None else plan.dia.offsets,
     )
@@ -193,6 +206,39 @@ def pad_x(x: jax.Array, x_rows: int) -> jax.Array:
     return jnp.pad(x, (0, x_rows * LANES - m)).reshape(x_rows, LANES)
 
 
+
+def _unperm_tiles(dev: Bell2Device, tiles: jax.Array) -> jax.Array:
+    """Original-row-order tiles (>= ceil(nrows/128) rows of 128) from a
+    grouped stream's compact output tiles."""
+    if dev.unperm_pk is not None:
+        return unperm_gather_tiles(
+            dev.unperm_pk, dev.unperm_slabs, tiles[: dev.num_row_tiles],
+            W=dev.unperm_w, interpret=use_interpret(),
+        )
+    # legacy plans (PLAN_VERSION < 13): elementwise XLA gather
+    flat = tiles[: dev.num_row_tiles].reshape(-1)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+    return pad_x(flat[dev.row_perm], -(-dev.nrows // LANES))
+
+
+def _unperm_tiles_mm(dev: Bell2Device, tiles: jax.Array) -> jax.Array:
+    """(B, >=ceil(nrows/128), 128) unpermuted tiles, multi-RHS."""
+    if dev.unperm_pk is not None:
+        return unperm_gather_tiles_mm(
+            dev.unperm_pk, dev.unperm_slabs,
+            tiles[:, : dev.num_row_tiles],
+            W=dev.unperm_w, interpret=use_interpret(),
+        )
+    B = tiles.shape[0]
+    flat = tiles[:, : dev.num_row_tiles].reshape(B, -1)
+    flat = jnp.concatenate([flat, jnp.zeros((B, 1), flat.dtype)], axis=1)
+    Y = flat[:, dev.row_perm]  # (B, nrows)
+    T_full = -(-dev.nrows // LANES)
+    return jnp.pad(
+        Y, ((0, 0), (0, T_full * LANES - dev.nrows))
+    ).reshape(B, T_full, LANES)
+
+
 def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
     """y = A @ x for one BELL2 stream, unpadded in/out."""
     x2d = pad_x(x, dev.x_rows)
@@ -224,14 +270,12 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
             dev.vals, dev.packed, dev.meta, dev.step_block, x2d, **kw
         )
     if dev.row_perm is not None:
-        # degree-grouped stream: unpermute the compact output with one
-        # gather (absent rows hit the zero sentinel one past the end)
-        flat = tiles[: dev.num_row_tiles].reshape(-1)
-        flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
-        y = flat[dev.row_perm]
+        # degree-grouped stream: unpermute the compact output (Pallas
+        # slab-window kernel; absent rows read exact 0)
+        ot = _unperm_tiles(dev, tiles)
         if dev.dia_vals is None:
-            return y
-        tiles = pad_x(y, -(-dev.nrows // LANES))
+            return ot.reshape(-1)[: dev.nrows]
+        tiles = ot[: -(-dev.nrows // LANES)]
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles(
             dev.dia_vals, x2d, tiles, offsets=dev.dia_offsets,
@@ -270,17 +314,10 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
             dev.vals, dev.packed, dev.meta, dev.step_block, x3d, **kw
         )
     if dev.row_perm is not None:
-        flat = tiles[:, : dev.num_row_tiles].reshape(B, -1)
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((B, 1), flat.dtype)], axis=1
-        )
-        Y = flat[:, dev.row_perm]  # (B, nrows)
+        ot = _unperm_tiles_mm(dev, tiles)
         if dev.dia_vals is None:
-            return Y.T
-        T_full = -(-dev.nrows // LANES)
-        tiles = jnp.pad(
-            Y, ((0, 0), (0, T_full * LANES - dev.nrows))
-        ).reshape(B, T_full, LANES)
+            return ot.reshape(B, -1)[:, : dev.nrows].T
+        tiles = ot[:, : -(-dev.nrows // LANES)]
     if dev.dia_vals is not None:
         tiles = sdia_gen_tiles_mm(
             dev.dia_vals, x3d, tiles, offsets=dev.dia_offsets,
@@ -328,15 +365,15 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
         )
         if fd.row_perm is not None:
             # degree-grouped far stream: dense over its compact tiles;
-            # unpermute with one gather, then add into the paired tiles
+            # unpermute (Pallas kernel), then add into the paired tiles
             ftiles = bell2_spmv_tiles(
                 fd.vals, fd.packed, fd.meta, fd.step_block, x2d, **fkw
             )
-            flat = ftiles[: fd.num_row_tiles].reshape(-1)
-            flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
-            tiles = tiles[: dev.num_row_tiles] + pad_x(
-                flat[fd.row_perm], dev.num_row_tiles
-            )
+            ot = _unperm_tiles(fd, ftiles)
+            NT = dev.num_row_tiles
+            if ot.shape[0] < NT:
+                ot = jnp.pad(ot, ((0, NT - ot.shape[0]), (0, 0)))
+            tiles = tiles[:NT] + ot[:NT]
         else:
             # far residual accumulates straight into the paired tiles
             # (sparse stream; unvisited blocks keep their values)
@@ -401,15 +438,11 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             ftiles = bell2_spmm_tiles(
                 fd.vals, fd.packed, fd.meta, fd.step_block, x3d, **fkw
             )
-            flat = ftiles[:, : fd.num_row_tiles].reshape(B, -1)
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((B, 1), flat.dtype)], axis=1
-            )
-            fy = flat[:, fd.row_perm]  # (B, nrows)
+            ot = _unperm_tiles_mm(fd, ftiles)
             NT = dev.num_row_tiles
-            tiles = tiles[:, :NT] + jnp.pad(
-                fy, ((0, 0), (0, NT * LANES - dev.nrows))
-            ).reshape(B, NT, LANES)
+            if ot.shape[1] < NT:
+                ot = jnp.pad(ot, ((0, 0), (0, NT - ot.shape[1]), (0, 0)))
+            tiles = tiles[:, :NT] + ot[:, :NT]
         else:
             BT = fd.tiles_per_block
             tiles_padded = -(-fd.num_row_tiles // BT) * BT
