@@ -95,10 +95,6 @@ class Bell2Plan:
     #: many window rows (slot-packed plans rarely need more than 4;
     #: fewer stacks = fewer VMEM loads per chunk)
     max_windows: int = SUBLANES
-    #: superchunk plans: all chunks of a run share one window table, so
-    #: the kernel builds the x-window stack once per run (from the run's
-    #: first chunk) instead of once per chunk
-    windows_shared: bool = False
     #: contiguous-range windows: chunk c's windows are exactly rows
     #: [meta[c,2], meta[c,2]+8) of the x operand, so the kernel loads the
     #: whole stack as ONE dynamic (8,128) slab (~2 cycles/chunk cheaper
@@ -411,26 +407,25 @@ def _sort_entries(row, col):
 
 
 def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
-                        max_windows=SUBLANES, group=1, contig=False, rot=1):
+                        max_windows=SUBLANES, contig=False, rot=1):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
     Python mirror): subrows mix segments as long as row lanes and gather
     lanes stay conflict-free. Inputs MUST already be in ``_sort_entries``
     order; outputs are pack_chunks-shaped in that same SORTED order (the
     plan assembly scatters values/indices straight from the sorted
     domain — the former scatter-back to entry order was 4 random passes
-    over the whole entry set per candidate).
-
-    ``group > 1`` packs superchunks — ``group`` consecutive same-tile
-    chunks sharing one window table, so the kernel loads the x-window
-    stack once per ``group``-chunk run."""
+    over the whole entry set per candidate). Superchunk packing
+    (``group > 1``) was pruned in round 3: round-2 v5e ablations showed
+    window sharing never reduced chunks, so no plan could reach it (the
+    native ``pack_slots`` keeps its ``group`` ABI parameter frozen
+    at 1)."""
     t0 = time.perf_counter()
     packed = _native.pack_slots(
-        ts, lrs, sgs, qs, max_windows, group=group, contig=contig, rot=rot
+        ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot
     )
     if packed is None:
         packed = _native.pack_slots_py(
-            ts, lrs, sgs, qs, max_windows, group=group, contig=contig,
-            rot=rot,
+            ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot,
         )
     e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin = packed
     info(
@@ -438,15 +433,6 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
         len(ts), len(chunk_tiles), max_windows, rot,
         time.perf_counter() - t0,
     )
-    if group > 1:
-        # expand superchunk outputs to chunk granularity (windows
-        # replicated so every chunk's meta row is self-describing)
-        e_chunk = e_chunk * group + (e_sub >> 3)
-        e_sub = e_sub & 7
-        chunk_tiles = np.repeat(chunk_tiles, group)
-        windows = np.repeat(windows, group, axis=0)
-        nwin = np.repeat(nwin, group)
-
     # cover empty tiles (same contract as pack_chunks)
     present = np.zeros(T, bool)
     if len(chunk_tiles):
@@ -807,7 +793,11 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
         )
         if len(pk_d[4]) * _CYC_DISTINCT < best_cost:
             best = (pk_d, False, SUBLANES, 1)
-    run_len = 4 if allow_runs and K % 4 == 0 else 1
+    # measured r3 (v5e, audikw proxy): at K=128 run batching no longer
+    # pays (11.7 ns/chunk at run 1 vs 11.5 at run 4) while run padding
+    # adds ~11% chunks — runs only win at small K, where per-chunk
+    # flush cost is unamortized (K=32: 16.6 ns/chunk run 1 vs 14.6 run 4)
+    run_len = 4 if allow_runs and K % 4 == 0 and K < 128 else 1
     return best[0], best[1], run_len, best[2], best[3], ctx
 
 
@@ -1055,7 +1045,6 @@ def build_bell2_from_arrays(
             )
     run_len = 1
     wmax = SUBLANES
-    shared_windows = False
     e_rc = None
     run_remap = None  # run padding's chunk remap, composed at assembly
     if packed_alt is not None:
@@ -1222,7 +1211,7 @@ def build_bell2_from_arrays(
         vals_arr.reshape(C * SUBLANES, LANES),
         packed.reshape(C * SUBLANES, LANES),
         meta, step_block,
-        T, x_rows, K, BT, run_len, wmax, shared_windows, contig,
+        T, x_rows, K, BT, run_len, wmax, contig,
         window_depth=depth, lane_rot=rot,
         sparse_stream=not cover_all_tiles,
         row_perm=row_perm,

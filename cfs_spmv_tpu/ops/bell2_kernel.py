@@ -247,7 +247,7 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
-                  run=1, wmax=SUBLANES, shared=False, contig=False,
+                  run=1, wmax=SUBLANES, contig=False,
                   depth=SUBLANES, rot=1):
     _zero_on_new_block(sb_ref, y_ref)
 
@@ -273,13 +273,10 @@ def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
 
     for k0 in range(0, K, run):
         # a run's chunks share one row tile: accumulate in register and
-        # flush one sum + read-modify-write per run. Superchunk plans
-        # (shared=True) also share the window table, so the x-window
-        # stack is built once per run.
-        W0 = stack(k0) if shared else None
+        # flush one sum + read-modify-write per run
         acc = None
         for k in range(k0, k0 + run):
-            W = W0 if shared else stack(k)
+            W = stack(k)
             g = _gather_x(W, _chunk(pk_ref, k))
             vg = _chunk(vals_ref, k) * g
             acc = vg if acc is None else acc + vg
@@ -337,7 +334,7 @@ def _grid_spec_mm(G, K, BT, B):
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig",
+                     "interpret", "run", "wmax", "contig",
                      "depth", "rot"),
 )
 @_no_x64
@@ -350,7 +347,6 @@ def bell2_spmv_tiles(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
-    shared: bool = False,
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
@@ -362,7 +358,7 @@ def bell2_spmv_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
-        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax, shared=shared,
+        functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax,
                           contig=contig, depth=depth, rot=rot),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
@@ -385,7 +381,7 @@ def bell2_spmv_tiles(
 
 def _bell2_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
-    wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES, rot=1,
+    wmax=SUBLANES, contig=False, depth=SUBLANES, rot=1,
 ):
     g = pl.program_id(0)
 
@@ -416,10 +412,9 @@ def _bell2_accum_kernel(
         return _stack_windows(x_ref, meta_ref, k, wmax)
 
     for k0 in range(0, K, run):
-        W0 = stack(k0) if shared else None
         acc = None
         for k in range(k0, k0 + run):
-            W = W0 if shared else stack(k)
+            W = stack(k)
             g = _gather_x(W, _chunk(pk_ref, k))
             vg = _chunk(vals_ref, k) * g
             acc = vg if acc is None else acc + vg
@@ -430,7 +425,7 @@ def _bell2_accum_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig",
+                     "interpret", "run", "wmax", "contig",
                      "depth", "rot"),
 )
 @_no_x64
@@ -443,7 +438,6 @@ def bell2_spmv_tiles_accum(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
-    shared: bool = False,
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
@@ -481,8 +475,7 @@ def bell2_spmv_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax,
-                          shared=shared, contig=contig, depth=depth,
-                          rot=rot),
+                          contig=contig, depth=depth, rot=rot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -499,13 +492,14 @@ def bell2_spmv_tiles_accum(
 
 def _bell2_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
-    wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES, rot=1,
+    wmax=SUBLANES, contig=False, depth=SUBLANES, rot=1,
 ):
     _zero_on_new_block(sb_ref, y_ref)
 
     if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
         for k0 in range(0, K, run):
             sub = meta_ref[0, k0, 0]
+            contribs = []
             for b in range(n_rhs):
                 def stack_deep(k, b=b):
                     return [
@@ -517,11 +511,13 @@ def _bell2_mm_kernel(
                         for i in range(depth // SUBLANES)
                     ]
 
-                contrib = _chunk_contribs(
+                contribs.append(_chunk_contribs(
                     stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
                     rot=rot,
-                )
-                y_ref[b, pl.ds(sub, 1), :] += contrib
+                )[None])
+            # one strided read-modify-write across all RHS (r3: per-b
+            # RMWs dominated the MM kernel once run padding was dropped)
+            y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
         return
 
     def stack(k, b):
@@ -531,22 +527,22 @@ def _bell2_mm_kernel(
 
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
+        contribs = []
         for b in range(n_rhs):
-            W0 = stack(k0, b) if shared else None
             acc = None
             for k in range(k0, k0 + run):
-                W = W0 if shared else stack(k, b)
+                W = stack(k, b)
                 g = _gather_x(W, _chunk(pk_ref, k))
                 vg = _chunk(vals_ref, k) * g
                 acc = vg if acc is None else acc + vg
-            contrib = jnp.sum(acc, axis=0, keepdims=True)
-            y_ref[b, pl.ds(sub, 1), :] += contrib
+            contribs.append(jnp.sum(acc, axis=0, keepdims=True)[None])
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig",
+                     "interpret", "run", "wmax", "contig",
                      "depth", "rot"),
 )
 @_no_x64
@@ -559,7 +555,6 @@ def bell2_spmm_tiles(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
-    shared: bool = False,
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
@@ -573,8 +568,7 @@ def bell2_spmm_tiles(
     tiles_padded = -(-num_row_tiles // BT) * BT
     out = pl.pallas_call(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
-                          shared=shared, contig=contig, depth=depth,
-                          rot=rot),
+                          contig=contig, depth=depth, rot=rot),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -590,7 +584,7 @@ def bell2_spmm_tiles(
     return out[:, :num_row_tiles]
 
 
-def _unperm_body(rows_ref, pk, g2, W, b=None):
+def _unperm_body(row_at, pk, g2, W, b=None):
     """(8, 128) unpermuted values for one 1024-row out-block.
 
     pk packs q (bits 0-6) | w (bits 7+, index into the block's window-row
@@ -608,9 +602,9 @@ def _unperm_body(rows_ref, pk, g2, W, b=None):
     out = None
     for w in range(W):
         src = (
-            g2[pl.ds(rows_ref[0, 0, w], 1), :]
+            g2[pl.ds(row_at(w), 1), :]
             if b is None
-            else g2[b, pl.ds(rows_ref[0, 0, w], 1), :]
+            else g2[b, pl.ds(row_at(w), 1), :]
         )
         Hw = _take_i32(
             jnp.broadcast_to(src, (SUBLANES, LANES)), q, axis=1
@@ -619,14 +613,27 @@ def _unperm_body(rows_ref, pk, g2, W, b=None):
     return jnp.where(pk < 0, jnp.zeros_like(out), out)
 
 
-def _unperm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W):
-    y_ref[...] = _unperm_body(rows_ref, pk_ref[...], g2_ref, W)
+#: out-blocks per unpermute grid step — amortizes the ~200 ns/step grid
+#: cost (measured r3: 88 single-block steps took 17.9 us)
+UNPERM_BPG = 8
 
 
-def _unperm_mm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, n_rhs):
-    pk = pk_ref[...]
-    for b in range(n_rhs):
-        y_ref[b, :, :] = _unperm_body(rows_ref, pk, g2_ref, W, b=b)
+def _unperm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, bpg):
+    for i in range(bpg):
+        sl = slice(i * SUBLANES, (i + 1) * SUBLANES)
+        y_ref[sl, :] = _unperm_body(
+            lambda w, i=i: rows_ref[0, i, w], pk_ref[sl, :], g2_ref, W
+        )
+
+
+def _unperm_mm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, n_rhs, bpg):
+    for i in range(bpg):
+        sl = slice(i * SUBLANES, (i + 1) * SUBLANES)
+        pk = pk_ref[sl, :]
+        for b in range(n_rhs):
+            y_ref[b, sl, :] = _unperm_body(
+                lambda w, i=i: rows_ref[0, i, w], pk, g2_ref, W, b=b
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret"))
@@ -638,28 +645,41 @@ def unperm_gather_tiles(pk2d, rows, g_tiles, *, W: int,
     The O(n) unpermute of degree-grouped plans. XLA's elementwise 1-D
     gather costs ~7 ns/row on v5e (647 us at 90k rows — it dominated the
     round-2 grouped plans, BENCH_r02/r03); this kernel runs ~4 vector
-    ops per window row per 1024-row block instead."""
+    ops per window row per 1024-row block, UNPERM_BPG blocks per grid
+    step (measured ~200 ns/step grid floor)."""
     nb = rows.shape[0]
+    W_ = rows.shape[1]
+    nbp = -(-nb // UNPERM_BPG)
+    if nbp * UNPERM_BPG != nb:
+        pk2d = jnp.pad(
+            pk2d, ((0, (nbp * UNPERM_BPG - nb) * SUBLANES), (0, 0)),
+            constant_values=-1,
+        )
+        rows = jnp.pad(rows, ((0, nbp * UNPERM_BPG - nb), (0, 0)))
     return pl.pallas_call(
-        functools.partial(_unperm_kernel, W=W),
+        functools.partial(_unperm_kernel, W=W, bpg=UNPERM_BPG),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(nb,),
+            grid=(nbp,),
             in_specs=[
-                pl.BlockSpec((1, 1, W), _i32map(lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, UNPERM_BPG, W_),
+                             _i32map(lambda g: (g, 0, 0)),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((SUBLANES, LANES), _i32map(lambda g: (g, 0))),
+                pl.BlockSpec((UNPERM_BPG * SUBLANES, LANES),
+                             _i32map(lambda g: (g, 0))),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (SUBLANES, LANES), _i32map(lambda g: (g, 0))
+                (UNPERM_BPG * SUBLANES, LANES), _i32map(lambda g: (g, 0))
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (nb * SUBLANES, LANES), g_tiles.dtype
+            (nbp * UNPERM_BPG * SUBLANES, LANES), g_tiles.dtype
         ),
         interpret=interpret,
-    )(rows.reshape(nb, 1, W), pk2d, g_tiles)
+    )(rows.reshape(nbp, UNPERM_BPG, W_), pk2d, g_tiles)[
+        : nb * SUBLANES
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret"))
@@ -668,27 +688,42 @@ def unperm_gather_tiles_mm(pk2d, rows, g_tiles, *, W: int,
                            interpret: bool = False):
     """(B, nb*8, 128) unpermuted Y tiles from grouped (B, T, 128)."""
     nb = rows.shape[0]
+    W_ = rows.shape[1]
     B = g_tiles.shape[0]
+    nbp = -(-nb // UNPERM_BPG)
+    if nbp * UNPERM_BPG != nb:
+        pk2d = jnp.pad(
+            pk2d, ((0, (nbp * UNPERM_BPG - nb) * SUBLANES), (0, 0)),
+            constant_values=-1,
+        )
+        rows = jnp.pad(rows, ((0, nbp * UNPERM_BPG - nb), (0, 0)))
     return pl.pallas_call(
-        functools.partial(_unperm_mm_kernel, W=W, n_rhs=B),
+        functools.partial(
+            _unperm_mm_kernel, W=W, n_rhs=B, bpg=UNPERM_BPG
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(nb,),
+            grid=(nbp,),
             in_specs=[
-                pl.BlockSpec((1, 1, W), _i32map(lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, UNPERM_BPG, W_),
+                             _i32map(lambda g: (g, 0, 0)),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((SUBLANES, LANES), _i32map(lambda g: (g, 0))),
+                pl.BlockSpec((UNPERM_BPG * SUBLANES, LANES),
+                             _i32map(lambda g: (g, 0))),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (B, SUBLANES, LANES), _i32map(lambda g: (0, g, 0))
+                (B, UNPERM_BPG * SUBLANES, LANES),
+                _i32map(lambda g: (0, g, 0))
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B, nb * SUBLANES, LANES), g_tiles.dtype
+            (B, nbp * UNPERM_BPG * SUBLANES, LANES), g_tiles.dtype
         ),
         interpret=interpret,
-    )(rows.reshape(nb, 1, W), pk2d, g_tiles)
+    )(rows.reshape(nbp, UNPERM_BPG, W_), pk2d, g_tiles)[
+        :, : nb * SUBLANES
+    ]
 
 
 def _sbell_transpose_part(pk, v, xw):
@@ -842,7 +877,7 @@ def sbell_spmm_tiles(
 
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
-    run=1, wmax=SUBLANES, shared=False, contig=False, depth=SUBLANES,
+    run=1, wmax=SUBLANES, contig=False, depth=SUBLANES,
     rot=1,
 ):
     g = pl.program_id(0)
@@ -856,6 +891,7 @@ def _bell2_mm_accum_kernel(
     if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
         for k0 in range(0, K, run):
             sub = meta_ref[0, k0, 0]
+            contribs = []
             for b in range(n_rhs):
                 def stack_deep(k, b=b):
                     return [
@@ -867,11 +903,13 @@ def _bell2_mm_accum_kernel(
                         for i in range(depth // SUBLANES)
                     ]
 
-                contrib = _chunk_contribs(
+                contribs.append(_chunk_contribs(
                     stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
                     rot=rot,
-                )
-                y_ref[b, pl.ds(sub, 1), :] += contrib
+                )[None])
+            # one strided read-modify-write across all RHS (r3: per-b
+            # RMWs dominated the MM kernel once run padding was dropped)
+            y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
         return
 
     def stack(k, b):
@@ -881,22 +919,22 @@ def _bell2_mm_accum_kernel(
 
     for k0 in range(0, K, run):
         sub = meta_ref[0, k0, 0]
+        contribs = []
         for b in range(n_rhs):
-            W0 = stack(k0, b) if shared else None
             acc = None
             for k in range(k0, k0 + run):
-                W = W0 if shared else stack(k, b)
+                W = stack(k, b)
                 g = _gather_x(W, _chunk(pk_ref, k))
                 vg = _chunk(vals_ref, k) * g
                 acc = vg if acc is None else acc + vg
-            contrib = jnp.sum(acc, axis=0, keepdims=True)
-            y_ref[b, pl.ds(sub, 1), :] += contrib
+            contribs.append(jnp.sum(acc, axis=0, keepdims=True)[None])
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
-                     "interpret", "run", "wmax", "shared", "contig",
+                     "interpret", "run", "wmax", "contig",
                      "depth", "rot"),
 )
 @_no_x64
@@ -909,7 +947,6 @@ def bell2_spmm_tiles_accum(
     interpret: bool = False,
     run: int = 1,
     wmax: int = SUBLANES,
-    shared: bool = False,
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
@@ -945,8 +982,7 @@ def bell2_spmm_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run,
-                          wmax=wmax, shared=shared, contig=contig,
-                          depth=depth, rot=rot),
+                          wmax=wmax, contig=contig, depth=depth, rot=rot),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -74,9 +74,6 @@ class Bell2Device:
     max_windows: int = dataclasses.field(
         default=8, metadata=dict(static=True)
     )
-    windows_shared: bool = dataclasses.field(
-        default=False, metadata=dict(static=True)
-    )
     windows_contig: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
@@ -152,7 +149,6 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         tiles_per_block=plan.tiles_per_block,
         run_len=plan.run_len,
         max_windows=plan.max_windows,
-        windows_shared=plan.windows_shared,
         windows_contig=plan.windows_contig,
         window_depth=plan.window_depth,
         lane_rot=plan.lane_rot,
@@ -249,7 +245,6 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         interpret=use_interpret(),
         run=dev.run_len,
         wmax=dev.max_windows,
-        shared=dev.windows_shared,
         contig=dev.windows_contig,
         depth=dev.window_depth,
         rot=dev.lane_rot,
@@ -295,7 +290,6 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         interpret=use_interpret(),
         run=dev.run_len,
         wmax=dev.max_windows,
-        shared=dev.windows_shared,
         contig=dev.windows_contig,
         depth=dev.window_depth,
         rot=dev.lane_rot,
@@ -358,7 +352,6 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             interpret=use_interpret(),
             run=fd.run_len,
             wmax=fd.max_windows,
-            shared=fd.windows_shared,
             contig=fd.windows_contig,
             depth=fd.window_depth,
             rot=fd.lane_rot,
@@ -429,7 +422,6 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             interpret=use_interpret(),
             run=fd.run_len,
             wmax=fd.max_windows,
-            shared=fd.windows_shared,
             contig=fd.windows_contig,
             depth=fd.window_depth,
             rot=fd.lane_rot,

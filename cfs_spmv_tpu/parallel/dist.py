@@ -319,13 +319,29 @@ class DistSpDMV:
         seg = col >> 7
         near = (tile // BT) == (seg // BT)
 
+        # --- one-pass owner bucketing (r1 advice, mirrored from the
+        # ring path): the row stream is CSR-sorted, so each shard's
+        # row range is a searchsorted slice; the mirror image is
+        # bucketed ONCE by column owner with a stable argsort. The old
+        # code evaluated full-stream boolean masks per device (the
+        # mirror mask three times) — O(ndev * nnz) host work. ---------
+        r_starts = np.array(
+            [self.real[d][0] for d in range(self.ndev)], np.int64
+        )
+        r_ends = r_starts + np.array(
+            [self.real[d][1] for d in range(self.ndev)], np.int64
+        )
+        row_lo = np.searchsorted(row, r_starts)
+        row_hi = np.searchsorted(row, r_ends)
+
         # --- per-shard near entries in local coordinates --------------
         shard_near = []
         for d in range(self.ndev):
-            r0, nr = self.real[d]
-            ns = (row >= r0) & (row < r0 + nr) & near
+            r0 = r_starts[d]
+            sl = slice(row_lo[d], row_hi[d])
+            ns = near[sl]
             shard_near.append(
-                ((row[ns] - r0), (col[ns] - r0), val[ns])
+                ((row[sl][ns] - r0), (col[sl][ns] - r0), val[sl][ns])
             )
 
         # --- union of qualifying dense diagonals (offsets are STATIC in
@@ -354,12 +370,18 @@ class DistSpDMV:
 
         # halo diagnostic: entries (either image) whose x column lives
         # on another device
-        ends = np.array([self.real[d][0] + self.real[d][1]
-                         for d in range(self.ndev)], dtype=np.int64)
-        ro, co = np.searchsorted(ends, row, side="right"), np.searchsorted(
-            ends, col, side="right"
-        )
+        ro = np.searchsorted(r_ends, row, side="right")
+        co = np.searchsorted(r_ends, col, side="right")
         self.far_nnz = 2 * int(np.count_nonzero(ro != co))
+
+        # mirror image (col, row, val) of far entries, bucketed once by
+        # column owner (stable: per-shard order matches the old masked
+        # gathers, so plans stay bit-identical)
+        mi = np.flatnonzero(~near)
+        morder = mi[np.argsort(co[mi], kind="stable")]
+        mcuts = np.concatenate(
+            [[0], np.cumsum(np.bincount(co[mi], minlength=self.ndev))]
+        ).astype(np.int64)
 
         paired_plans, far_plans, diags, dia_vals = [], [], [], []
         from ..formats.sdia import BLOCK_ROWS
@@ -389,7 +411,11 @@ class DistSpDMV:
                 )
                 dia_vals.append(dv)
                 nr_, nc_, nv_ = nr_[~on_dia], nc_[~on_dia], nv_[~on_dia]
-            fs = (row >= r0) & (row < r1) & ~near
+            sl = slice(row_lo[d], row_hi[d])
+            fr_d = row[sl][~near[sl]]
+            fc_d = col[sl][~near[sl]]
+            fv_d = val[sl][~near[sl]]
+            md = morder[mcuts[d]:mcuts[d + 1]]
             # near residual: fully local coordinates
             ncoo = COO(
                 self.shard_rows, self.shard_rows,
@@ -412,9 +438,9 @@ class DistSpDMV:
             )
             # far: local rows, global cols, one-sided — this shard owns
             # rows of both mirror images that fall in [r0, r1)
-            mr = np.concatenate([row[fs], col[~near & (col >= r0) & (col < r1)]])
-            mc = np.concatenate([col[fs], row[~near & (col >= r0) & (col < r1)]])
-            mv = np.concatenate([val[fs], val[~near & (col >= r0) & (col < r1)]])
+            mr = np.concatenate([fr_d, col[md]])
+            mc = np.concatenate([fc_d, row[md]])
+            mv = np.concatenate([fv_d, val[md]])
             if self.comm == "ring":
                 far_plans.append(
                     ((mr - r0).astype(np.int64), mc.astype(np.int64), mv)
