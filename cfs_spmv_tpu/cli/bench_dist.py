@@ -106,26 +106,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if "--model" in rest:
         from ..utils.roofline import detect_chip
-        from ..parallel.scaling import far_profile, weak_scaling_model
+        from ..parallel.scaling import scaling_model
 
         chip = detect_chip().name
         nnz_s = rows[0][3]  # measured single-device rate
         print(f"# scaling model (chip={chip}, measured {nnz_s:.3g} nnz/s)")
-        for nd in (2, 4, 8, 16, 32):
-            p = far_profile(A.csr, nd)
-            print(
-                f"model devices: {nd} far_fraction: "
-                f"{100 * p.far_fraction:.2f}% halo_cols_max: "
-                f"{p.halo_cols_max}"
-            )
-        for m in weak_scaling_model(
-            A.csr, measured_nnz_s=nnz_s, chip=chip
-        ):
-            print(
-                f"model weak devices: {m['ndev']} t_compute: "
-                f"{m['t_compute_s']:.3g}s t_comm: {m['t_comm_s']:.3g}s "
-                f"efficiency: {100 * m['efficiency']:.0f}%"
-            )
+        for mode in ("weak", "strong"):
+            for m in scaling_model(
+                A.csr, measured_nnz_s=nnz_s, chip=chip, mode=mode
+            ):
+                print(
+                    f"model {mode} devices: {m['ndev']} "
+                    f"hosts: {m['hosts']} ({m['link']}) far: "
+                    f"{100 * m['far_fraction']:.2f}% t_compute: "
+                    f"{m['t_compute_s']:.3g}s t_comm: {m['t_comm_s']:.3g}s "
+                    f"efficiency: {100 * m['efficiency']:.0f}%"
+                )
     return 0
 
 

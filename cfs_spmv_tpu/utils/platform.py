@@ -126,9 +126,9 @@ def allclose_spmv(
     passed; the error bound is then ``eps * sqrt(nnz/row) * scale`` — the
     standard componentwise bound for reordered summation.
     """
+    dt = np.dtype(dtype) if dtype is not None else np.asarray(y).dtype
     y = np.asarray(y, dtype=np.float64)
     y_ref = np.asarray(y_ref, dtype=np.float64)
-    dt = np.dtype(dtype) if dtype is not None else np.asarray(y).dtype
     eps = rel_tolerance(dt) * max(1.0, float(np.sqrt(max(nnz_per_row, 1.0))))
     if scale is None:
         denom = np.maximum(np.abs(y), np.abs(y_ref))

@@ -329,12 +329,28 @@ def test_scaling_model_runs():
         assert p.ndev == nd
         fracs.append(p.far_fraction)
     assert fracs[0] <= fracs[-1] + 1e-9  # finer cuts never shrink halo
-    model = weak_scaling_model(csr, measured_nnz_s=2e11, chip="v5e")
+    from cfs_spmv_tpu.parallel.scaling import scaling_model
+
+    # zero dispatch floor isolates the link/overlap model (the default
+    # 5 us/step floor honestly dominates a 4000-row toy matrix)
+    model = scaling_model(
+        csr, measured_nnz_s=2e11, chip="v5e", step_overhead_s=0.0,
+    )
     for m in model:
         assert 0.0 < m["efficiency"] <= 1.0
         assert m["t_comm_s"] >= 0.0
     # a banded matrix on big shards communicates little: efficiency high
     assert model[0]["efficiency"] > 0.5
+    # strong scaling: efficiency is t1 / (nd * t_dev); once the ring
+    # spans more than one host the hop rides DCN
+    strong = scaling_model(
+        csr, measured_nnz_s=2e11, chip="v5e", mode="strong",
+        ndevs=(2, 4, 8, 16), step_overhead_s=0.0,
+    )
+    for m in strong:
+        assert 0.0 < m["efficiency"] <= 1.0
+    assert strong[0]["link"] == "ici" and strong[-1]["link"] == "dcn"
+    assert strong[-1]["hosts"] == 2
 
 
 def test_multihost_noop_single_process():
