@@ -35,6 +35,18 @@ SUBLANES = 8
 LANES = 128
 META_W = 2 + SUBLANES
 
+#: max chunks whose packed meta word (4 B/chunk) is scalar-prefetched
+#: into SMEM. Measured v5e (round 3): a per-grid-step SMEM-blocked
+#: operand stalls the stream pipeline ~677 ns/step regardless of size
+#: (559 GB/s vs the 740 GB/s the same DMAs reach without it), so
+#: contig/deep plans prefetch the whole (C,) word array instead — a
+#: 512 KB prefetch compiles on v5e, 1 MB does not; 120k chunks = 480 KB
+#: covers audikw_1 full scale (~95k). Larger streams keep the streamed
+#: META path (docs/KERNEL_NOTES_R3.md).
+PREF_CMAX = 120_000
+#: packed meta word layout: sub (bits 0-9) | x-slab base tile (10-31)
+WORD_SUB_BITS = 10
+
 __all__ = [
     "bell2_spmv_tiles",
     "bell2_spmv_tiles_accum",
@@ -44,6 +56,8 @@ __all__ = [
     "sbell_spmm_tiles",
     "unperm_gather_tiles",
     "unperm_gather_tiles_mm",
+    "meta_word",
+    "word_eligible",
 ]
 
 
@@ -236,6 +250,134 @@ def _chunk_contribs(stack, vals_ref, pk_ref, k0, run, *, depth, rot):
     return _rot_reduce(accs, rot)
 
 
+def meta_word(meta):
+    """(C,) packed meta word from a (C, META_W) contig/deep meta: the
+    kernel needs only the target subrow ([:, 0]) and the x-slab base
+    tile ([:, 2]) — window lists are implicit in contiguous-range
+    plans. Works on host (numpy) or device arrays."""
+    return (meta[:, 0] | (meta[:, 2] << WORD_SUB_BITS)).astype(jnp.int32)
+
+
+def word_eligible(meta_np, *, contig, depth, tiles_per_block) -> bool:
+    """Whether a plan's meta can take the scalar-prefetch word path."""
+    C = meta_np.shape[0]
+    return (
+        (contig or depth > SUBLANES)
+        and C <= PREF_CMAX
+        and tiles_per_block <= (1 << WORD_SUB_BITS)
+        and (len(meta_np) == 0
+             or int(meta_np[:, 2].max(initial=0)) < (1 << 21))
+    )
+
+
+def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, rot,
+                  b=None):
+    """(1, 128) row contribution of chunk k with slab base ``xb``."""
+
+    def slab(off, n=SUBLANES):
+        if b is None:
+            return x_ref[pl.ds(off, n), :]
+        return x_ref[b, pl.ds(off, n), :]
+
+    pk16 = _chunk(pk_ref, k)
+    if depth > SUBLANES:
+        pk = pk16.astype(jnp.int32)
+        slabs = [slab(xb + 8 * i) for i in range(depth // SUBLANES)]
+        g = _gather_x_deep(slabs, pk)
+    elif rot > 1:
+        pk = pk16.astype(jnp.int32)
+        G = _take_i32(slab(xb), (pk >> 7) & 0x7, axis=0)
+        g = _take_i32(G, pk & 0x7F, axis=1)
+    else:
+        g = _gather_x(slab(xb), pk16)
+        pk = None
+    vg = _chunk(vals_ref, k) * g
+    if rot == 1:
+        return jnp.sum(vg, axis=0, keepdims=True)
+    if pk is None:
+        pk = pk16.astype(jnp.int32)
+    rc = pk >> 12
+    accs = [
+        jnp.where(rc == j, vg, jnp.zeros_like(vg)) for j in range(rot)
+    ]
+    return _rot_reduce(accs, rot)
+
+
+def _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
+                       *, K, depth, rot):
+    _zero_on_new_block(sb_ref, y_ref)
+    g = pl.program_id(0)
+    base0 = g * K
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contrib = _word_contrib(vals_ref, pk_ref, x_ref, k, xb,
+                                depth=depth, rot=rot)
+        y_ref[pl.ds(sub, 1), :] += contrib
+
+
+def _bell2_word_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
+                             yin_ref, y_ref, *, K, depth, rot):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    base0 = g * K
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contrib = _word_contrib(vals_ref, pk_ref, x_ref, k, xb,
+                                depth=depth, rot=rot)
+        y_ref[pl.ds(sub, 1), :] += contrib
+
+
+def _bell2_word_mm_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
+                          y_ref, *, K, n_rhs, depth, rot):
+    _zero_on_new_block(sb_ref, y_ref)
+    g = pl.program_id(0)
+    base0 = g * K
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contribs = [
+            _word_contrib(vals_ref, pk_ref, x_ref, k, xb, depth=depth,
+                          rot=rot, b=b)[None]
+            for b in range(n_rhs)
+        ]
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
+
+
+def _bell2_word_mm_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref,
+                                x_ref, yin_ref, y_ref, *, K, n_rhs,
+                                depth, rot):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    base0 = g * K
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contribs = [
+            _word_contrib(vals_ref, pk_ref, x_ref, k, xb, depth=depth,
+                          rot=rot, b=b)[None]
+            for b in range(n_rhs)
+        ]
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
+
+
 def _zero_on_new_block(sb_ref, y_ref):
     g = pl.program_id(0)
 
@@ -308,6 +450,31 @@ def _grid_spec(G, K, BT):
     )
 
 
+def _grid_spec_word(G, K, BT, *, accum=False, B=None):
+    """Grid spec for the scalar-prefetch word path: the per-chunk meta
+    word array is prefetched whole into SMEM (num_scalar_prefetch=2),
+    removing the per-step SMEM-blocked operand that stalls the stream
+    pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md)."""
+    stream = pl.BlockSpec(
+        (K * SUBLANES, LANES), _i32map(lambda g, s, m: (g, 0))
+    )
+    if B is None:
+        out = pl.BlockSpec((BT, LANES), _i32map(lambda g, s, m: (s[g], 0)))
+    else:
+        out = pl.BlockSpec(
+            (B, BT, LANES), _i32map(lambda g, s, m: (0, s[g], 0))
+        )
+    in_specs = [stream, stream, pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if accum:
+        in_specs.append(out)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out,
+    )
+
+
 def _grid_spec_mm(G, K, BT, B):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -351,12 +518,27 @@ def bell2_spmv_tiles(
     depth: int = SUBLANES,
     rot: int = 1,
 ):
-    """y tiles (T, 128) = A @ x for one BELL2 stream."""
+    """y tiles (T, 128) = A @ x for one BELL2 stream.
+
+    ``meta`` is either the (C, META_W) streamed table or a (C,) packed
+    word array (``meta_word``) — the word form takes the
+    scalar-prefetch fast path (contig/deep plans only)."""
     C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0, f"chunk stream not padded to K={K} (C={C})"
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
+    if meta.ndim == 1:
+        out = pl.pallas_call(
+            functools.partial(_bell2_word_kernel, K=K, depth=depth,
+                              rot=rot),
+            grid_spec=_grid_spec_word(G, K, BT),
+            out_shape=jax.ShapeDtypeStruct(
+                (tiles_padded, LANES), x2d.dtype
+            ),
+            interpret=interpret,
+        )(step_block, meta, vals, packed, x2d)
+        return out[:num_row_tiles]
     out = pl.pallas_call(
         functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax,
                           contig=contig, depth=depth, rot=rot),
@@ -454,6 +636,17 @@ def bell2_spmv_tiles_accum(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     assert y_tiles.shape == (tiles_padded, LANES)
+    if meta.ndim == 1:
+        return pl.pallas_call(
+            functools.partial(_bell2_word_accum_kernel, K=K,
+                              depth=depth, rot=rot),
+            grid_spec=_grid_spec_word(G, K, BT, accum=True),
+            out_shape=jax.ShapeDtypeStruct(
+                (tiles_padded, LANES), x2d.dtype
+            ),
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(step_block, meta, vals, packed, x2d, y_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -566,6 +759,17 @@ def bell2_spmm_tiles(
     assert C % K == 0
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
+    if meta.ndim == 1:
+        out = pl.pallas_call(
+            functools.partial(_bell2_word_mm_kernel, K=K, n_rhs=B,
+                              depth=depth, rot=rot),
+            grid_spec=_grid_spec_word(G, K, BT, B=B),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, tiles_padded, LANES), x3d.dtype
+            ),
+            interpret=interpret,
+        )(step_block, meta, vals, packed, x3d)
+        return out[:, :num_row_tiles]
     out = pl.pallas_call(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
                           contig=contig, depth=depth, rot=rot),
@@ -959,6 +1163,17 @@ def bell2_spmm_tiles_accum(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     assert y_tiles.shape == (B, tiles_padded, LANES)
+    if meta.ndim == 1:
+        return pl.pallas_call(
+            functools.partial(_bell2_word_mm_accum_kernel, K=K,
+                              n_rhs=B, depth=depth, rot=rot),
+            grid_spec=_grid_spec_word(G, K, BT, B=B, accum=True),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, tiles_padded, LANES), x3d.dtype
+            ),
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(step_block, meta, vals, packed, x3d, y_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),

@@ -24,10 +24,12 @@ from .bell2_kernel import (
     bell2_spmm_tiles_accum,
     bell2_spmv_tiles,
     bell2_spmv_tiles_accum,
+    meta_word,
     sbell_spmm_tiles,
     sbell_spmv_tiles,
     unperm_gather_tiles,
     unperm_gather_tiles_mm,
+    word_eligible,
 )
 from .sdia_kernel import (
     sdia_gen_tiles,
@@ -136,10 +138,21 @@ class SBellDevice:
 
 
 def to_device(plan: Bell2Plan) -> Bell2Device:
+    meta_np = np.asarray(plan.meta)
+    if word_eligible(
+        meta_np, contig=plan.windows_contig, depth=plan.window_depth,
+        tiles_per_block=plan.tiles_per_block,
+    ):
+        # scalar-prefetch fast path: one packed int32/chunk in SMEM
+        # instead of the per-step SMEM-blocked table, which stalls the
+        # stream pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md)
+        meta_dev = jnp.asarray(meta_word(meta_np))
+    else:
+        meta_dev = jnp.asarray(meta_np)
     return Bell2Device(
         vals=jnp.asarray(plan.vals),
         packed=jnp.asarray(plan.packed),
-        meta=jnp.asarray(plan.meta),
+        meta=meta_dev,
         step_block=jnp.asarray(plan.step_block),
         num_row_tiles=plan.num_row_tiles,
         x_rows=plan.x_rows,
