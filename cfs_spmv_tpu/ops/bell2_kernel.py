@@ -823,20 +823,24 @@ UNPERM_BPG = 8
 
 
 def _unperm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, bpg):
+    g = pl.program_id(0)
     for i in range(bpg):
         sl = slice(i * SUBLANES, (i + 1) * SUBLANES)
         y_ref[sl, :] = _unperm_body(
-            lambda w, i=i: rows_ref[0, i, w], pk_ref[sl, :], g2_ref, W
+            lambda w, i=i: rows_ref[g * bpg + i, w], pk_ref[sl, :],
+            g2_ref, W
         )
 
 
 def _unperm_mm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, n_rhs, bpg):
+    g = pl.program_id(0)
     for i in range(bpg):
         sl = slice(i * SUBLANES, (i + 1) * SUBLANES)
         pk = pk_ref[sl, :]
         for b in range(n_rhs):
             y_ref[b, sl, :] = _unperm_body(
-                lambda w, i=i: rows_ref[0, i, w], pk, g2_ref, W, b=b
+                lambda w, i=i: rows_ref[g * bpg + i, w], pk, g2_ref, W,
+                b=b
             )
 
 
@@ -860,28 +864,30 @@ def unperm_gather_tiles(pk2d, rows, g_tiles, *, W: int,
             constant_values=-1,
         )
         rows = jnp.pad(rows, ((0, nbp * UNPERM_BPG - nb), (0, 0)))
+    # the window-row table is scalar-prefetched whole (4*W B/block —
+    # tiny): a per-step SMEM-blocked operand stalls the pipeline
+    # ~500 ns/step (docs/KERNEL_NOTES_R3.md; 5.8 -> ~2 us on the
+    # audikw proxy's 88 blocks)
     return pl.pallas_call(
         functools.partial(_unperm_kernel, W=W, bpg=UNPERM_BPG),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(nbp,),
             in_specs=[
-                pl.BlockSpec((1, UNPERM_BPG, W_),
-                             _i32map(lambda g: (g, 0, 0)),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((UNPERM_BPG * SUBLANES, LANES),
-                             _i32map(lambda g: (g, 0))),
+                             _i32map(lambda g, r: (g, 0))),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (UNPERM_BPG * SUBLANES, LANES), _i32map(lambda g: (g, 0))
+                (UNPERM_BPG * SUBLANES, LANES),
+                _i32map(lambda g, r: (g, 0))
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
             (nbp * UNPERM_BPG * SUBLANES, LANES), g_tiles.dtype
         ),
         interpret=interpret,
-    )(rows.reshape(nbp, UNPERM_BPG, W_), pk2d, g_tiles)[
+    )(rows.astype(jnp.int32), pk2d, g_tiles)[
         : nb * SUBLANES
     ]
 
@@ -892,7 +898,6 @@ def unperm_gather_tiles_mm(pk2d, rows, g_tiles, *, W: int,
                            interpret: bool = False):
     """(B, nb*8, 128) unpermuted Y tiles from grouped (B, T, 128)."""
     nb = rows.shape[0]
-    W_ = rows.shape[1]
     B = g_tiles.shape[0]
     nbp = -(-nb // UNPERM_BPG)
     if nbp * UNPERM_BPG != nb:
@@ -906,26 +911,23 @@ def unperm_gather_tiles_mm(pk2d, rows, g_tiles, *, W: int,
             _unperm_mm_kernel, W=W, n_rhs=B, bpg=UNPERM_BPG
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(nbp,),
             in_specs=[
-                pl.BlockSpec((1, UNPERM_BPG, W_),
-                             _i32map(lambda g: (g, 0, 0)),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((UNPERM_BPG * SUBLANES, LANES),
-                             _i32map(lambda g: (g, 0))),
+                             _i32map(lambda g, r: (g, 0))),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (B, UNPERM_BPG * SUBLANES, LANES),
-                _i32map(lambda g: (0, g, 0))
+                _i32map(lambda g, r: (0, g, 0))
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
             (B, nbp * UNPERM_BPG * SUBLANES, LANES), g_tiles.dtype
         ),
         interpret=interpret,
-    )(rows.reshape(nbp, UNPERM_BPG, W_), pk2d, g_tiles)[
+    )(rows.astype(jnp.int32), pk2d, g_tiles)[
         :, : nb * SUBLANES
     ]
 
