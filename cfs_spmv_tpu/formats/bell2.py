@@ -466,12 +466,12 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
 #: identical across native/Python packers so plans stay reproducible.
 _CYC_CONTIG = 9.3
 _CYC_DISTINCT = 11.4
-#: relaxed-packing datapath increments, MEASURED round 3 on v5e (kb2/kb5
-#: ablations, audikw proxy): an extra (8,128) slab in a deep window
-#: stack costs ~0.34 ns/chunk = ~0.27 cyc (depth-16 grouped plan
-#: 15.02 ns/chunk vs 14.68 contig-8 at K=32); rotation stays a trace
-#: estimate (no plan has adopted it since) — kept pessimistic.
-_CYC_SLAB = 0.3
+#: relaxed-packing datapath increments, MEASURED round 3 on v5e: under
+#: the scalar-prefetch word path an extra (8,128) slab in a deep window
+#: stack is ~free (ablation N1: depth-8 datapath 88.2 us vs deep-16
+#: 88.6 on the audikw far stream = ~0.05 cyc/slab); rotation stays a
+#: trace estimate (no plan has adopted it since) — kept pessimistic.
+_CYC_SLAB = 0.05
 _CYC_ROT = 1.0
 #: unpermute cost of degree-grouped plans, per 1024-row out-block of the
 #: Pallas window-row kernel (ops/bell2_kernel.unperm_gather_tiles):
@@ -745,36 +745,44 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     ctx = (order, lrs, qs)
     if tbl is None:
         tbl = _lane_count_table(row, T)
+    # deep-16 contig subsumes contig-8: strictly more window freedom
+    # (chunks(16) <= chunks(8)) at measured-equal per-chunk cost on v5e
+    # (r3 ablation N1: depth-8 datapath 88.2 us vs deep-16 88.6 on the
+    # audikw far stream), so relax-enabled builds pack ONE deep-16
+    # baseline instead of contig-8 + deep-16 — the second-largest term
+    # of the full-scale audikw pack phase (14.3 s of 56 s) was the
+    # contig-8 pack that always lost
+    first_d = 2 * SUBLANES if allow_relax else max_windows
     pk_c = _pack_slots_entries(
         ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
-        max_windows=max_windows, contig=True,
+        max_windows=first_d, contig=True,
     )
-    best = (pk_c, True, SUBLANES, 1)
-    best_cost = len(pk_c[4]) * _cyc_per_chunk(SUBLANES, 1)
+    best = (pk_c, True, first_d, 1)
+    best_cost = len(pk_c[4]) * _cyc_per_chunk(first_d, 1)
     floor1 = max(_lane_floor_chunks(tbl), 1)
     size_floor = max(_tile_size_floor(tbl), 1)
 
     # lane rotation: pick the group count minimizing floor x cycles
     rot = 1
     if allow_relax and floor1 > 1.15 * size_floor:
-        rot_score = floor1 * _cyc_per_chunk(SUBLANES, 1)
+        rot_score = floor1 * _cyc_per_chunk(first_d, 1)
         for r in (2, 4):
             s = (
                 max(_lane_floor_chunks(tbl, rot=r), size_floor)
-                * _cyc_per_chunk(SUBLANES, r)
+                * _cyc_per_chunk(first_d, r)
             )
             if s < rot_score:
                 rot, rot_score = r, s
 
-    # deep windows: only worth packing when the baseline pack is
+    # deeper windows: only worth packing when the baseline pack is
     # window-bound (well above its own lane floor)
     depths = []
     if allow_relax and len(pk_c[4]) > 1.15 * floor1:
-        depths = [2 * SUBLANES, 4 * SUBLANES]
+        depths = [4 * SUBLANES]
 
     cands = [(d, 1) for d in depths]
     if rot > 1:
-        cands.append((SUBLANES, rot))
+        cands.append((first_d, rot))
         cands.extend((d, rot) for d in depths)
     for d, r in cands:
         # the relaxed floor bounds what this candidate could achieve;

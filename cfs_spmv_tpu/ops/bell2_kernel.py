@@ -817,9 +817,10 @@ def _unperm_body(row_at, pk, g2, W, b=None):
     return jnp.where(pk < 0, jnp.zeros_like(out), out)
 
 
-#: out-blocks per unpermute grid step — amortizes the ~200 ns/step grid
-#: cost (measured r3: 88 single-block steps took 17.9 us)
-UNPERM_BPG = 8
+#: out-blocks per unpermute grid step — amortizes the ~600 ns/step grid
+#: cost (measured r3: 88 single-block steps took 17.9 us; at BPG=8 the
+#: audikw proxy's 11 steps still cost 7 us, so batch 4x more)
+UNPERM_BPG = 32
 
 
 def _unperm_kernel(rows_ref, pk_ref, g2_ref, y_ref, *, W, bpg):
