@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -303,6 +304,43 @@ def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, rot,
     return _rot_reduce(accs, rot)
 
 
+def _nib_consts():
+    """Per-step iota constants for the nibble unpack (computed in-kernel
+    — Pallas rejects captured array constants)."""
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    shift = (row8 & 1) << 2
+    dup = row8 >> 1  # 0,0,1,1,2,2,3,3
+    return dup, shift
+
+
+def _nib_contrib(vals_ref, q_ref, nib_ref, x_ref, k, xb, dup, shift, *,
+                 depth, b=None):
+    """Nibble-stream variant of ``_word_contrib`` (depth <= 16, rot 1):
+    q is an int8 stream (1 B/slot) and the 4-bit window index rides a
+    half-height int8 nibble stream (0.5 B/slot) — 1.5 B/slot of index
+    traffic instead of int16's 2 B. Chunk pairs share one (8, 128)
+    nibble block: even chunks read rows 0-3 (dup), odd rows 4-7."""
+
+    def slab(off):
+        if b is None:
+            return x_ref[pl.ds(off, SUBLANES), :]
+        return x_ref[b, pl.ds(off, SUBLANES), :]
+
+    nibpair = nib_ref[
+        (k // 2) * SUBLANES:(k // 2 + 1) * SUBLANES, :
+    ].astype(jnp.int32)
+    d = dup if k % 2 == 0 else dup + 4
+    r2 = (_take_i32(nibpair, d, axis=0) >> shift) & 0xF
+    q = q_ref[k * SUBLANES:(k + 1) * SUBLANES, :].astype(jnp.int32)
+    G = _take_i32(slab(xb), r2 & 7, axis=0)
+    if depth > SUBLANES:
+        Gi = _take_i32(slab(xb + 8), r2 & 7, axis=0)
+        G = jnp.where((r2 >> 3) == 1, Gi, G)
+    g = _take_i32(G, q, axis=1)
+    vg = _chunk(vals_ref, k) * g
+    return jnp.sum(vg, axis=0, keepdims=True)
+
+
 def _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
                        *, K, depth, rot):
     _zero_on_new_block(sb_ref, y_ref)
@@ -315,6 +353,83 @@ def _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
         contrib = _word_contrib(vals_ref, pk_ref, x_ref, k, xb,
                                 depth=depth, rot=rot)
         y_ref[pl.ds(sub, 1), :] += contrib
+
+
+def _bell2_nib_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref, x_ref,
+                      y_ref, *, K, depth):
+    _zero_on_new_block(sb_ref, y_ref)
+    base0 = pl.program_id(0) * K
+    dup, shift = _nib_consts()
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contrib = _nib_contrib(vals_ref, q_ref, nib_ref, x_ref, k, xb,
+                               dup, shift, depth=depth)
+        y_ref[pl.ds(sub, 1), :] += contrib
+
+
+def _bell2_nib_accum_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref,
+                            x_ref, yin_ref, y_ref, *, K, depth):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    base0 = g * K
+    dup, shift = _nib_consts()
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contrib = _nib_contrib(vals_ref, q_ref, nib_ref, x_ref, k, xb,
+                               dup, shift, depth=depth)
+        y_ref[pl.ds(sub, 1), :] += contrib
+
+
+def _bell2_nib_mm_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref,
+                         x_ref, y_ref, *, K, n_rhs, depth):
+    _zero_on_new_block(sb_ref, y_ref)
+    base0 = pl.program_id(0) * K
+    dup, shift = _nib_consts()
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contribs = [
+            _nib_contrib(vals_ref, q_ref, nib_ref, x_ref, k, xb, dup,
+                         shift, depth=depth, b=b)[None]
+            for b in range(n_rhs)
+        ]
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
+
+
+def _bell2_nib_mm_accum_kernel(sb_ref, mw_ref, vals_ref, q_ref,
+                               nib_ref, x_ref, yin_ref, y_ref, *, K,
+                               n_rhs, depth):
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        y_ref[...] = yin_ref[...]
+
+    base0 = g * K
+    dup, shift = _nib_consts()
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        contribs = [
+            _nib_contrib(vals_ref, q_ref, nib_ref, x_ref, k, xb, dup,
+                         shift, depth=depth, b=b)[None]
+            for b in range(n_rhs)
+        ]
+        y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
 
 
 def _bell2_word_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
@@ -450,11 +565,12 @@ def _grid_spec(G, K, BT):
     )
 
 
-def _grid_spec_word(G, K, BT, *, accum=False, B=None):
+def _grid_spec_word(G, K, BT, *, accum=False, B=None, nib=False):
     """Grid spec for the scalar-prefetch word path: the per-chunk meta
     word array is prefetched whole into SMEM (num_scalar_prefetch=2),
     removing the per-step SMEM-blocked operand that stalls the stream
-    pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md)."""
+    pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md). ``nib`` adds the
+    half-height nibble window stream after the q stream."""
     stream = pl.BlockSpec(
         (K * SUBLANES, LANES), _i32map(lambda g, s, m: (g, 0))
     )
@@ -464,7 +580,12 @@ def _grid_spec_word(G, K, BT, *, accum=False, B=None):
         out = pl.BlockSpec(
             (B, BT, LANES), _i32map(lambda g, s, m: (0, s[g], 0))
         )
-    in_specs = [stream, stream, pl.BlockSpec(memory_space=pltpu.VMEM)]
+    in_specs = [stream, stream]
+    if nib:
+        in_specs.append(
+            pl.BlockSpec((K * 4, LANES), _i32map(lambda g, s, m: (g, 0)))
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if accum:
         in_specs.append(out)
     return pltpu.PrefetchScalarGridSpec(
@@ -473,6 +594,19 @@ def _grid_spec_word(G, K, BT, *, accum=False, B=None):
         in_specs=in_specs,
         out_specs=out,
     )
+
+
+def nib_split(packed_np):
+    """(q8, nib) int8 streams from a (C*8, 128) int16 one-sided packed
+    stream with depth <= 16 and rot == 1 (q bits 0-6, r2 bits 7-10):
+    1.5 B/slot of index traffic instead of 2 (measured ~2.5% on the
+    audikw far stream — the kernel is stream-DMA-bound)."""
+    C = packed_np.shape[0] // SUBLANES
+    pk = np.asarray(packed_np, np.int32).reshape(C, SUBLANES, LANES)
+    q8 = (pk & 0x7F).astype(np.int8).reshape(C * SUBLANES, LANES)
+    r2 = (pk >> 7) & 0xF
+    nib = (r2[:, 0::2, :] | (r2[:, 1::2, :] << 4)).astype(np.int8)
+    return q8, nib.reshape(C * 4, LANES)
 
 
 def _grid_spec_mm(G, K, BT, B):
@@ -517,18 +651,31 @@ def bell2_spmv_tiles(
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
+    nib=None,
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream.
 
     ``meta`` is either the (C, META_W) streamed table or a (C,) packed
     word array (``meta_word``) — the word form takes the
-    scalar-prefetch fast path (contig/deep plans only)."""
+    scalar-prefetch fast path (contig/deep plans only). With ``nib``,
+    ``packed`` is the int8 q stream and ``nib`` the half-height window
+    nibbles (``nib_split``)."""
     C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0, f"chunk stream not padded to K={K} (C={C})"
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     if meta.ndim == 1:
+        if nib is not None:
+            out = pl.pallas_call(
+                functools.partial(_bell2_nib_kernel, K=K, depth=depth),
+                grid_spec=_grid_spec_word(G, K, BT, nib=True),
+                out_shape=jax.ShapeDtypeStruct(
+                    (tiles_padded, LANES), x2d.dtype
+                ),
+                interpret=interpret,
+            )(step_block, meta, vals, packed, nib, x2d)
+            return out[:num_row_tiles]
         out = pl.pallas_call(
             functools.partial(_bell2_word_kernel, K=K, depth=depth,
                               rot=rot),
