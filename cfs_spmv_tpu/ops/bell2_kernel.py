@@ -770,6 +770,7 @@ def bell2_spmv_tiles_accum(
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
+    nib=None,
 ):
     """y_tiles += A @ x for a sparse accumulating BELL2 stream.
 
@@ -784,6 +785,18 @@ def bell2_spmv_tiles_accum(
     tiles_padded = -(-num_row_tiles // BT) * BT
     assert y_tiles.shape == (tiles_padded, LANES)
     if meta.ndim == 1:
+        if nib is not None:
+            return pl.pallas_call(
+                functools.partial(
+                    _bell2_nib_accum_kernel, K=K, depth=depth
+                ),
+                grid_spec=_grid_spec_word(G, K, BT, accum=True, nib=True),
+                out_shape=jax.ShapeDtypeStruct(
+                    (tiles_padded, LANES), x2d.dtype
+                ),
+                input_output_aliases={6: 0},
+                interpret=interpret,
+            )(step_block, meta, vals, packed, nib, x2d, y_tiles)
         return pl.pallas_call(
             functools.partial(_bell2_word_accum_kernel, K=K,
                               depth=depth, rot=rot),
@@ -898,6 +911,7 @@ def bell2_spmm_tiles(
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
+    nib=None,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     C = vals.shape[0] // SUBLANES
@@ -907,6 +921,18 @@ def bell2_spmm_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     if meta.ndim == 1:
+        if nib is not None:
+            out = pl.pallas_call(
+                functools.partial(
+                    _bell2_nib_mm_kernel, K=K, n_rhs=B, depth=depth
+                ),
+                grid_spec=_grid_spec_word(G, K, BT, B=B, nib=True),
+                out_shape=jax.ShapeDtypeStruct(
+                    (B, tiles_padded, LANES), x3d.dtype
+                ),
+                interpret=interpret,
+            )(step_block, meta, vals, packed, nib, x3d)
+            return out[:, :num_row_tiles]
         out = pl.pallas_call(
             functools.partial(_bell2_word_mm_kernel, K=K, n_rhs=B,
                               depth=depth, rot=rot),
@@ -1304,6 +1330,7 @@ def bell2_spmm_tiles_accum(
     contig: bool = False,
     depth: int = SUBLANES,
     rot: int = 1,
+    nib=None,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
     C = vals.shape[0] // SUBLANES
@@ -1314,6 +1341,20 @@ def bell2_spmm_tiles_accum(
     tiles_padded = -(-num_row_tiles // BT) * BT
     assert y_tiles.shape == (B, tiles_padded, LANES)
     if meta.ndim == 1:
+        if nib is not None:
+            return pl.pallas_call(
+                functools.partial(
+                    _bell2_nib_mm_accum_kernel, K=K, n_rhs=B, depth=depth
+                ),
+                grid_spec=_grid_spec_word(
+                    G, K, BT, B=B, accum=True, nib=True
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (B, tiles_padded, LANES), x3d.dtype
+                ),
+                input_output_aliases={6: 0},
+                interpret=interpret,
+            )(step_block, meta, vals, packed, nib, x3d, y_tiles)
         return pl.pallas_call(
             functools.partial(_bell2_word_mm_accum_kernel, K=K,
                               n_rhs=B, depth=depth, rot=rot),

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats.bell2 import LANES, Bell2Plan
+from ..formats.bell2 import LANES, SUBLANES, Bell2Plan
 from ..formats.sbell import SBellPlan
 from ..utils.config import config
 from .bell2_kernel import (
@@ -25,6 +25,7 @@ from .bell2_kernel import (
     bell2_spmv_tiles,
     bell2_spmv_tiles_accum,
     meta_word,
+    nib_split,
     sbell_spmm_tiles,
     sbell_spmv_tiles,
     unperm_gather_tiles,
@@ -93,6 +94,9 @@ class Bell2Device:
     has_work: bool = dataclasses.field(
         default=True, metadata=dict(static=True)
     )
+    #: half-height 4-bit window stream (``nib_split``); when set,
+    #: ``packed`` is the int8 q stream (1.5 B/slot instead of int16's 2)
+    nib: Any = None
     #: degree-grouped row tiling: (nrows,) int32 slot of each original
     #: row in the compact permuted output (sentinel num_row_tiles*128
     #: for rows absent from the stream). Apply unpermutes with the
@@ -139,6 +143,8 @@ class SBellDevice:
 
 def to_device(plan: Bell2Plan) -> Bell2Device:
     meta_np = np.asarray(plan.meta)
+    nib_dev = None
+    packed_np = np.asarray(plan.packed)
     if word_eligible(
         meta_np, contig=plan.windows_contig, depth=plan.window_depth,
         tiles_per_block=plan.tiles_per_block,
@@ -147,12 +153,26 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         # instead of the per-step SMEM-blocked table, which stalls the
         # stream pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md)
         meta_dev = jnp.asarray(meta_word(meta_np))
+        if (
+            config.nib_streams
+            and packed_np.dtype == np.int16
+            and packed_np.size
+            and plan.window_depth <= 2 * SUBLANES
+            and plan.lane_rot == 1
+            and plan.chunks_per_step % 2 == 0
+        ):
+            # int8 q + half-height window nibbles: 1.5 B/slot of index
+            # traffic instead of 2 (the word kernel is stream-DMA-bound)
+            q8, nibs = nib_split(packed_np)
+            packed_np = q8
+            nib_dev = jnp.asarray(nibs)
     else:
         meta_dev = jnp.asarray(meta_np)
     return Bell2Device(
         vals=jnp.asarray(plan.vals),
-        packed=jnp.asarray(plan.packed),
+        packed=jnp.asarray(packed_np),
         meta=meta_dev,
+        nib=nib_dev,
         step_block=jnp.asarray(plan.step_block),
         num_row_tiles=plan.num_row_tiles,
         x_rows=plan.x_rows,
@@ -261,6 +281,7 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         contig=dev.windows_contig,
         depth=dev.window_depth,
         rot=dev.lane_rot,
+        nib=dev.nib,
     )
     if not dev.has_work:
         # dia-only (or empty) plan: nothing to stream at all
@@ -306,6 +327,7 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         contig=dev.windows_contig,
         depth=dev.window_depth,
         rot=dev.lane_rot,
+        nib=dev.nib,
     )
     if not dev.has_work:
         tiles = jnp.zeros((B, dev.num_row_tiles, LANES), x3d.dtype)
@@ -368,6 +390,7 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             contig=fd.windows_contig,
             depth=fd.window_depth,
             rot=fd.lane_rot,
+            nib=fd.nib,
         )
         if fd.row_perm is not None:
             # degree-grouped far stream: dense over its compact tiles;
@@ -438,6 +461,7 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
             contig=fd.windows_contig,
             depth=fd.window_depth,
             rot=fd.lane_rot,
+            nib=fd.nib,
         )
         if fd.row_perm is not None:
             ftiles = bell2_spmm_tiles(

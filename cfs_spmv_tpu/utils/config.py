@@ -54,6 +54,12 @@ class Config:
     interpret: bool = dataclasses.field(
         default_factory=lambda: env_flag("CFS_INTERPRET", False)
     )
+    #: split the one-sided word-path packed stream into int8 q + 4-bit
+    #: window nibbles (1.5 B/slot of index traffic instead of 2 — the
+    #: kernel is stream-DMA-bound; measured on the audikw far stream)
+    nib_streams: bool = dataclasses.field(
+        default_factory=lambda: env_flag("CFS_NIB", True)
+    )
     #: plan cache directory ("" disables); improvement over the reference,
     #: which re-parses and re-tunes from scratch every run (SURVEY §5)
     plan_cache_dir: str = dataclasses.field(
