@@ -482,6 +482,10 @@ _CYC_ROT = 1.0
 #: kernel replaces it.
 _CYC_UNPERM_BASE = 4.0
 _CYC_UNPERM_SLAB = 4.0
+#: minimum fraction of a general matrix's nnz an SDIA peel must absorb
+#: to be kept (see the gate in ``build_general_plan``): the blocked-y
+#: kernel's full x/y scan only pays off when the peel is substantial.
+SDIA_PEEL_MIN_FRAC = 0.25
 
 
 def _cyc_per_chunk(depth, rot):
@@ -1270,6 +1274,18 @@ def build_general_plan(
     dia_plan, resid = extract_sdia(
         row, col, val, csr.nrows, dtype=dtype, signed=True
     )
+    if dia_plan is not None:
+        # peel acceptance gate (measured v5e, audikw proxy): the
+        # blocked-y SDIA kernel scans ALL of x/y regardless of how few
+        # diagonals it carries (15.5 us standalone at 90k rows), while
+        # folding a thin peel back into the one-sided stream costs only
+        # ~its chunk share (~0.8 us for the proxy's 1% main-diagonal
+        # peel). A peel must carry enough of the matrix to amortize the
+        # scan — below ~25% of nnz the far stream exists anyway and the
+        # extra pass is a net loss.
+        peeled = len(row) - int(resid.sum())
+        if peeled < SDIA_PEEL_MIN_FRAC * len(row):
+            dia_plan = None
     if dia_plan is None:
         return build_bell2_plan(
             csr, dtype=dtype, chunks_per_step=chunks_per_step,

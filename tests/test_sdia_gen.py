@@ -160,3 +160,37 @@ def test_sym_mirror_matches(mirror):
             nnz_per_row=2 * half_bw + 1,
             scale=csr.spmv_host(X[:, b], absolute=True),
         )
+
+
+def test_thin_peel_rejected():
+    """A general matrix whose only dense diagonal carries ~2% of nnz
+    must NOT peel: the blocked-y SDIA kernel scans all of x/y per apply
+    (15.5 us standalone at 90k rows on v5e) while the folded-back main
+    diagonal costs the one-sided stream ~its chunk share (~0.8 us).
+    The gate is ``SDIA_PEEL_MIN_FRAC`` in ``build_general_plan``."""
+    from cfs_spmv_tpu.formats.bell2 import build_general_plan
+    from cfs_spmv_tpu.ops import spmv as ops
+
+    n = 3000
+    rng = np.random.default_rng(3)
+    # ~50 scattered entries per row + a full main diagonal (~2%)
+    row = np.repeat(np.arange(n, dtype=np.int64), 50)
+    col = rng.integers(0, n, n * 50)
+    d = np.arange(n, dtype=np.int64)
+    coo = COO(
+        n, n,
+        np.concatenate([row, d]),
+        np.concatenate([col, d]),
+        rng.uniform(-1, 1, n * 51).astype(np.float64),
+    ).canonicalize()
+    csr = CSR.from_coo(coo)
+    plan = build_general_plan(csr, dtype=np.float64)
+    assert plan.dia is None  # thin peel rejected by the gate
+    dev = ops.to_device(plan)
+    x = random_x(n, np.float64)
+    y = np.asarray(ops.bell2_apply(dev, x))
+    ref = csr.spmv_host(x)
+    assert allclose_spmv(
+        y, ref, np.float64, nnz_per_row=csr.nnz / n,
+        scale=csr.spmv_host(x, absolute=True),
+    )
