@@ -464,14 +464,19 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
 #: ~1.25 ns/chunk unit implied by the round-3 hardware measurements:
 #: 11.8 ns/chunk contig @ K=128). Used only to RANK packing candidates —
 #: identical across native/Python packers so plans stay reproducible.
-_CYC_CONTIG = 9.3
+#: RE-MEASURED round 4 under the lazy-store kernels (which removed the
+#: per-chunk RMW): deep-16 contig runs 9.2-9.8 ns/chunk (7.3 + 0.5
+#: units), the stream-pipeline floor is 8.4 ns/chunk.
+_CYC_CONTIG = 7.3
 _CYC_DISTINCT = 11.4
-#: relaxed-packing datapath increments, MEASURED round 3 on v5e: under
-#: the scalar-prefetch word path an extra (8,128) slab in a deep window
-#: stack is ~free (ablation N1: depth-8 datapath 88.2 us vs deep-16
-#: 88.6 on the audikw far stream = ~0.05 cyc/slab); rotation stays a
-#: trace estimate (no plan has adopted it since) — kept pessimistic.
-_CYC_SLAB = 0.05
+#: per-extra-slab cost of deep windows, MEASURED round 4 on v5e under
+#: the lazy-store kernel (where compute is no longer masked by the
+#: per-chunk RMW): random-band deep-16 9.77 ns/chunk vs deep-32
+#: 10.7-11.4 -> ~0.5-0.8 ns per extra slab (gather + select), plus
+#: deep-32 forfeits the nibble stream (int16 index traffic). The
+#: round-3 value (0.05, "slabs are ~free") was measured with the RMW
+#: stall masking the datapath.
+_CYC_SLAB = 0.5
 _CYC_ROT = 1.0
 #: unpermute cost of degree-grouped plans, per 1024-row out-block of the
 #: Pallas window-row kernel (ops/bell2_kernel.unperm_gather_tiles):
@@ -779,9 +784,12 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
                 rot, rot_score = r, s
 
     # deeper windows: only worth packing when the baseline pack is
-    # window-bound (well above its own lane floor)
+    # window-bound (above its own lane floor; the 1.05 trigger is tight
+    # because under the round-4 lazy-store kernel chunk count, not
+    # per-chunk datapath, dominates — the random-band pack was 10%
+    # window-bound at deep-16 and the old 1.15 trigger never fired)
     depths = []
-    if allow_relax and len(pk_c[4]) > 1.15 * floor1:
+    if allow_relax and len(pk_c[4]) > 1.05 * floor1:
         depths = [4 * SUBLANES]
 
     cands = [(d, 1) for d in depths]
@@ -1189,6 +1197,19 @@ def build_bell2_from_arrays(
     meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
     meta[remap, 1] = nwin
     meta[remap, 2:] = windows
+    # forward-fill K-padding chunks' meta from the last REAL chunk of
+    # the same block: the lazy-store kernels overwrite row ``sub`` with
+    # a register accumulator that resets on sub change, so a padding
+    # chunk pointing at sub 0 would wipe that row — pointing at the
+    # block's last real sub makes it a harmless re-store of the same
+    # value (its slots are all zero). Blocks without a real chunk keep
+    # zeros (only all-empty streams, which never run the lazy path).
+    written = np.zeros(C, bool)
+    written[remap] = True
+    if C and not written.all():
+        src = np.maximum.accumulate(np.where(written, np.arange(C), -1))
+        fill = ~written & (src >= 0) & (blk_full == blk_full[src])
+        meta[fill] = meta[src[fill]]
     step_block = blk_full[::K].copy()
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)
@@ -1271,21 +1292,19 @@ def build_general_plan(
     row = np.repeat(np.arange(csr.nrows, dtype=np.int32), rowlen)
     col = np.asarray(csr.indices, np.int32)
     val = np.asarray(csr.data)
+    # peel acceptance gate (measured v5e, audikw proxy): the blocked-y
+    # SDIA kernel scans ALL of x/y regardless of how few diagonals it
+    # carries (15.5 us standalone at 90k rows), while folding a thin
+    # peel back into the one-sided stream costs only ~its chunk share
+    # (~0.8 us for the proxy's 1% main-diagonal peel). A peel must
+    # carry enough of the matrix to amortize the scan — below ~25% of
+    # nnz the far stream exists anyway and the extra pass is a net
+    # loss. The gate runs INSIDE extract_sdia on the per-offset counts,
+    # before the (R, D, 8, 128) planes are allocated (ADVICE r3).
     dia_plan, resid = extract_sdia(
-        row, col, val, csr.nrows, dtype=dtype, signed=True
+        row, col, val, csr.nrows, dtype=dtype, signed=True,
+        min_frac=SDIA_PEEL_MIN_FRAC,
     )
-    if dia_plan is not None:
-        # peel acceptance gate (measured v5e, audikw proxy): the
-        # blocked-y SDIA kernel scans ALL of x/y regardless of how few
-        # diagonals it carries (15.5 us standalone at 90k rows), while
-        # folding a thin peel back into the one-sided stream costs only
-        # ~its chunk share (~0.8 us for the proxy's 1% main-diagonal
-        # peel). A peel must carry enough of the matrix to amortize the
-        # scan — below ~25% of nnz the far stream exists anyway and the
-        # extra pass is a net loss.
-        peeled = len(row) - int(resid.sum())
-        if peeled < SDIA_PEEL_MIN_FRAC * len(row):
-            dia_plan = None
     if dia_plan is None:
         return build_bell2_plan(
             csr, dtype=dtype, chunks_per_step=chunks_per_step,

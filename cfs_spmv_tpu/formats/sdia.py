@@ -118,10 +118,18 @@ def extract_sdia(
     max_d: int = SDIA_MAX_D,
     mirror: bool = False,
     signed: bool = False,
+    min_frac: float = 0.0,
 ):
     """Split COO entries into (SDiaPlan | None, residual mask).
 
     The mask is True for entries NOT absorbed into the diagonal stream.
+
+    ``min_frac`` rejects thin peels BEFORE the (R, D, 8, 128) planes are
+    allocated and scatter-filled: when the selected diagonals would
+    absorb less than this fraction of the entries, the peel cannot
+    amortize the blocked-y kernel's full x/y scan (see the gate note in
+    ``build_general_plan``) — the per-offset counts already answer that,
+    so the whole extraction is skipped (ADVICE r3).
 
     ``signed`` admits super-diagonals (general matrices; the plan then
     targets the one-sided blocked-y kernel). ``mirror`` stores each
@@ -148,6 +156,14 @@ def extract_sdia(
     )
     if offsets is None:
         return None, np.ones(len(row), bool)
+    if min_frac > 0.0:
+        peeled = int(cnt_full[offsets + shift].sum())
+        if peeled < min_frac * len(row):
+            info(
+                "sdia: peel rejected (%.1f%% of entries < %.0f%% gate)",
+                100 * peeled / max(len(row), 1), 100 * min_frac,
+            )
+            return None, np.ones(len(row), bool)
     ok_full = np.zeros(2 * n - 1, bool)
     ok_full[offsets + shift] = True
     sel = ok_full[key]

@@ -26,7 +26,7 @@ from ..utils.logging import info
 __all__ = ["save_plan", "load_plan", "cache_key", "cached_build"]
 
 #: bump to invalidate every cached plan (layout/kernel contract changes)
-PLAN_VERSION = 16  # 16: SDIA peel acceptance gate (general path)
+PLAN_VERSION = 17  # 17: lazy-store kernels need forward-filled pad meta
 
 _PLAN_TYPES = {
     "Bell2Plan": Bell2Plan,

@@ -152,6 +152,7 @@ class SparseMatrix:
             self._csr, fmt=self._fmt, kernel=kernel, tuning=tuning,
             dtype=dtype, **kwargs,
         )
+        self._tune_sig = tune_signature(tuning, dtype, **kwargs)
         return self
 
     def dense_vector_multiply(self, x):
@@ -167,6 +168,22 @@ class SparseMatrix:
         return self._tuned.matmat(x)
 
     __matmul__ = dense_vector_multiply
+
+
+def tune_signature(tuning, dtype, **kwargs) -> tuple:
+    """Result-affecting tune configuration, normalized with defaults.
+
+    ``SpDMV`` retunes an already-tuned matrix when this differs from the
+    stored signature — a second ``SpDMV(A, dtype=np.float64)`` must not
+    silently reuse a float32 plan (the fp64 XLA path and the Pallas path
+    are different programs). ``cache_dir`` is excluded (no effect on
+    results)."""
+    return (
+        tuning,
+        np.dtype(dtype).name,
+        kwargs.get("values", "same"),
+        kwargs.get("reorder", "auto"),
+    )
 
 
 def hdr_expand_choice(want_sym: bool) -> bool:

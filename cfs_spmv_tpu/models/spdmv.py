@@ -31,8 +31,15 @@ class SpDMV:
         dtype=np.float32,
         **kwargs,
     ):
+        from ..matrix import tune_signature
+
         self.A = A
-        if A.tuned is None:
+        sig = tune_signature(tuning, dtype, **kwargs)
+        if A.tuned is None or getattr(A, "_tune_sig", None) != sig:
+            # retune when the requested configuration differs from the
+            # cached plan — e.g. a second SpDMV(A, dtype=np.float64)
+            # must not feed fp64 x into a float32 Pallas plan (caught by
+            # the round-4 verify drive)
             A.tune(self.kernel, tuning, dtype=dtype, **kwargs)
 
     def __call__(self, x):

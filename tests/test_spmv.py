@@ -182,3 +182,32 @@ def test_bfloat16_plan_cache(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(t1.matvec(x)), np.asarray(t2.matvec(x))
     )
+
+
+def test_spdmv_retunes_on_config_change(small_sym_coo):
+    """A second SpDMV on the same matrix with a different configuration
+    must retune, not silently reuse the cached plan (round-4 verify
+    drive: SpDMV(A, dtype=np.float64) after a float32 SpDMV fed fp64 x
+    into the float32 Pallas plan)."""
+    A = SparseMatrix.create(small_sym_coo, Format.SSS)
+    x32 = random_x(A.ncols, np.float32)
+    y32 = np.asarray(SpDMV(A, dtype=np.float32)(x32))
+    plan32 = A.tuned
+
+    xd = x32.astype(np.float64)
+    yd = np.asarray(SpDMV(A, dtype=np.float64)(xd))
+    assert A.tuned is not plan32  # retuned
+    assert yd.dtype == np.float64
+    y_ref = A.csr.spmv_host(xd)
+    scale = A.csr.spmv_host(xd, absolute=True)
+    assert allclose_spmv(
+        yd, y_ref, dtype=np.float64,
+        nnz_per_row=A.nnz_full / A.nrows, scale=scale,
+    )
+    # same config again -> plan reused, result unchanged
+    tuned_64 = A.tuned
+    SpDMV(A, dtype=np.float64)
+    assert A.tuned is tuned_64
+    np.testing.assert_array_equal(
+        y32, np.asarray(SpDMV(A, dtype=np.float32)(x32))
+    )
