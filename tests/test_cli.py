@@ -87,3 +87,16 @@ def test_cli_bench_rivals(mtx_path, rival, capsys):
     assert run_bench_cli([mtx_path, rival, "4"]) == 0
     out = capsys.readouterr().out
     assert ("BCOO" if rival == "3" else "DENSE") in out
+
+
+def test_cli_bench_dist_gen(capsys):
+    """--gen runs a generated BASELINE-structure proxy (no .mtx file)
+    and --model prints both weak and strong efficiency rows."""
+    from cfs_spmv_tpu.cli.bench_dist import main as run_dist_cli
+
+    assert run_dist_cli(
+        ["--gen", "band_small", "2", "--devices", "2", "--model"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "devices: 1" in out and "devices: 2" in out
+    assert "model weak devices:" in out and "model strong devices:" in out
