@@ -103,14 +103,15 @@ class Bell2Plan:
     windows_contig: bool = False
     #: relaxed packing (scattered structure): ``window_depth`` > 8 widens
     #: the contig window range to 16/32 segments (r2 grows to 5 bits,
-    #: packed bits 7-11; the kernel stacks depth/8 slabs and selects);
-    #: ``lane_rot`` > 1 lets an entry of row lane l occupy any lane of
-    #: the coset {l, l+128/rot, ...} (rc in packed bits 12-13; the
-    #: kernel keeps one accumulator per rotation group and rolls each
-    #: back before the row update). Both trade per-chunk compute for
-    #: fewer chunks — chosen by the packing-floor model in
-    #: ``_choose_slot_packing``.
+    #: packed bits 7-11; the kernel stacks depth/8 slabs and selects) —
+    #: trades per-chunk compute for fewer chunks, chosen by the
+    #: packing-floor model in ``_choose_slot_packing``.
     window_depth: int = 8
+    #: always 1: lane rotation (an entry occupying any lane of its
+    #: coset) was PRUNED round 4 — measured 3.6x per-chunk cost on v5e
+    #: under the lazy-store kernel vs an at-best-2x chunk saving. The
+    #: field (and packed bits 12-13) stays reserved for plan-format
+    #: stability.
     lane_rot: int = 1
     #: sparse accumulating stream (built with cover_all_tiles=False):
     #: blocks without chunks are never visited, so the kernel must run
@@ -477,7 +478,11 @@ _CYC_DISTINCT = 11.4
 #: round-3 value (0.05, "slabs are ~free") was measured with the RMW
 #: stall masking the datapath.
 _CYC_SLAB = 0.5
-_CYC_ROT = 1.0
+#: lane rotation (rot 2/4) was PRUNED in round 4: measured on v5e under
+#: the lazy-store kernel, the rot=2 datapath costs 33.3 ns/chunk vs 9.2
+#: at rot=1 (the per-group masked accumulators + pltpu.roll folds), and
+#: rotation can at best halve chunks — it can never win. The packed
+#: bits 12-13 (rc) and the native packer's rot ABI remain reserved.
 #: unpermute cost of degree-grouped plans, per 1024-row out-block of the
 #: Pallas window-row kernel (ops/bell2_kernel.unperm_gather_tiles):
 #: ~(base + per-window-row) vector ops per block. Round 2 shipped the
@@ -493,12 +498,9 @@ _CYC_UNPERM_SLAB = 4.0
 SDIA_PEEL_MIN_FRAC = 0.25
 
 
-def _cyc_per_chunk(depth, rot):
-    return (
-        _CYC_CONTIG
-        + _CYC_SLAB * (depth // SUBLANES - 1)
-        + _CYC_ROT * (rot - 1)
-    )
+def _cyc_per_chunk(depth, rot=1):
+    assert rot == 1  # lane rotation pruned round 4 (see note above)
+    return _CYC_CONTIG + _CYC_SLAB * (depth // SUBLANES - 1)
 
 
 def _lane_count_table(row, T):
@@ -738,17 +740,15 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
 
     - chunks >> lane-conflict floor: the 8-segment window range binds →
       try deep windows (depth 16/32; r2 grows to 5 bits, the kernel
-      selects among depth/8 slabs);
-    - lane floor >> size floor: dense rows force chunks the other lanes
-      cannot fill → try lane rotation (rot 2/4; entries spread over a
-      lane coset, the kernel keeps per-group accumulators and rolls
-      them back).
+      selects among depth/8 slabs).
 
     Candidates are ranked by chunks x modeled cycles/chunk; free
     8-window tables remain the fallback when even the relaxed contig
     packs land far off the floor. Round-2 v5e ablations: superchunk
     window sharing (group > 1) never reduced chunks and cost fill, so
-    groups are not tried. Returns (packed, contig, run_len, depth, rot).
+    groups are not tried; lane rotation was pruned round 4 (measured
+    3.6x per-chunk cost — see the _CYC_SLAB note). Returns
+    (packed, contig, run_len, depth, rot) with rot always 1.
     """
     order, ts, lrs, sgs, qs = _sort_entries(row, col)
     ctx = (order, lrs, qs)
@@ -771,18 +771,6 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     floor1 = max(_lane_floor_chunks(tbl), 1)
     size_floor = max(_tile_size_floor(tbl), 1)
 
-    # lane rotation: pick the group count minimizing floor x cycles
-    rot = 1
-    if allow_relax and floor1 > 1.15 * size_floor:
-        rot_score = floor1 * _cyc_per_chunk(first_d, 1)
-        for r in (2, 4):
-            s = (
-                max(_lane_floor_chunks(tbl, rot=r), size_floor)
-                * _cyc_per_chunk(first_d, r)
-            )
-            if s < rot_score:
-                rot, rot_score = r, s
-
     # deeper windows: only worth packing when the baseline pack is
     # window-bound (above its own lane floor; the 1.05 trigger is tight
     # because under the round-4 lazy-store kernel chunk count, not
@@ -792,23 +780,19 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     if allow_relax and len(pk_c[4]) > 1.05 * floor1:
         depths = [4 * SUBLANES]
 
-    cands = [(d, 1) for d in depths]
-    if rot > 1:
-        cands.append((first_d, rot))
-        cands.extend((d, rot) for d in depths)
-    for d, r in cands:
+    for d in depths:
         # the relaxed floor bounds what this candidate could achieve;
         # skip the (host-costly) pack when even that loses
-        fl = max(_lane_floor_chunks(tbl, rot=r), size_floor)
-        if fl * _cyc_per_chunk(d, r) >= best_cost:
+        fl = max(floor1, size_floor)
+        if fl * _cyc_per_chunk(d) >= best_cost:
             continue
         pk = _pack_slots_entries(
             ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
-            max_windows=d, contig=True, rot=r,
+            max_windows=d, contig=True,
         )
-        cost = len(pk[4]) * _cyc_per_chunk(d, r)
+        cost = len(pk[4]) * _cyc_per_chunk(d)
         if cost < best_cost:
-            best, best_cost = (pk, True, d, r), cost
+            best, best_cost = (pk, True, d, 1), cost
 
     if best_cost > floor1 * _CYC_DISTINCT:
         pk_d = _pack_slots_entries(

@@ -212,24 +212,11 @@ def _gather_x_deep(slabs, pk):
     return _take_i32(G, q, axis=1)
 
 
-def _rot_reduce(accs, rot):
-    """Fold the per-rotation-group accumulators into one (1, 128) row
-    contribution: group j's lanes are rolled back by j * 128/rot."""
-    stride = LANES // rot
-    contrib = jnp.sum(accs[0], axis=0, keepdims=True)
-    for j in range(1, rot):
-        cj = jnp.sum(accs[j], axis=0, keepdims=True)
-        contrib = contrib + pltpu.roll(cj, LANES - stride * j, 1)
-    return contrib
-
-
-def _chunk_contribs(stack, vals_ref, pk_ref, k0, run, *, depth, rot):
+def _chunk_contribs(stack, vals_ref, pk_ref, k0, run, *, depth):
     """Accumulate one run of chunks; returns the (1, 128) contribution.
 
-    ``depth`` > 8 selects the deep-window gather (5-bit r2); ``rot`` > 1
-    splits slots into lane-rotation groups (packed bits 12-13) that are
-    summed separately and rolled back before the row update."""
-    accs = [None] * rot
+    ``depth`` > 8 selects the deep-window gather (5-bit r2)."""
+    acc = None
     for k in range(k0, k0 + run):
         pk = _chunk(pk_ref, k).astype(jnp.int32)
         if depth > 8:
@@ -239,16 +226,8 @@ def _chunk_contribs(stack, vals_ref, pk_ref, k0, run, *, depth, rot):
             G = _take_i32(stack(k)[0], r2 & 7, axis=0)
             g = _take_i32(G, pk & 0x7F, axis=1)
         vg = _chunk(vals_ref, k) * g
-        if rot == 1:
-            accs[0] = vg if accs[0] is None else accs[0] + vg
-        else:
-            rc = pk >> 12
-            for j in range(rot):
-                m = jnp.where(rc == j, vg, jnp.zeros_like(vg))
-                accs[j] = m if accs[j] is None else accs[j] + m
-    if rot == 1:
-        return jnp.sum(accs[0], axis=0, keepdims=True)
-    return _rot_reduce(accs, rot)
+        acc = vg if acc is None else acc + vg
+    return jnp.sum(acc, axis=0, keepdims=True)
 
 
 def meta_word(meta):
@@ -271,8 +250,7 @@ def word_eligible(meta_np, *, contig, depth, tiles_per_block) -> bool:
     )
 
 
-def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, rot,
-                  b=None):
+def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, b=None):
     """(1, 128) row contribution of chunk k with slab base ``xb``."""
 
     def slab(off, n=SUBLANES):
@@ -285,23 +263,10 @@ def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, rot,
         pk = pk16.astype(jnp.int32)
         slabs = [slab(xb + 8 * i) for i in range(depth // SUBLANES)]
         g = _gather_x_deep(slabs, pk)
-    elif rot > 1:
-        pk = pk16.astype(jnp.int32)
-        G = _take_i32(slab(xb), (pk >> 7) & 0x7, axis=0)
-        g = _take_i32(G, pk & 0x7F, axis=1)
     else:
         g = _gather_x(slab(xb), pk16)
-        pk = None
     vg = _chunk(vals_ref, k) * g
-    if rot == 1:
-        return jnp.sum(vg, axis=0, keepdims=True)
-    if pk is None:
-        pk = pk16.astype(jnp.int32)
-    rc = pk >> 12
-    accs = [
-        jnp.where(rc == j, vg, jnp.zeros_like(vg)) for j in range(rot)
-    ]
-    return _rot_reduce(accs, rot)
+    return jnp.sum(vg, axis=0, keepdims=True)
 
 
 def _nib_consts():
@@ -382,7 +347,7 @@ class _LazyRow:
 
 
 def _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
-                       *, K, depth, rot):
+                       *, K, depth):
     _zero_on_new_block(sb_ref, y_ref)
     g = pl.program_id(0)
     base0 = g * K
@@ -392,7 +357,7 @@ def _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
         sub = w & ((1 << WORD_SUB_BITS) - 1)
         xb = w >> WORD_SUB_BITS
         contrib = _word_contrib(vals_ref, pk_ref, x_ref, k, xb,
-                                depth=depth, rot=rot)
+                                depth=depth)
         lazy.add(sub, contrib)
 
 
@@ -496,7 +461,7 @@ def _bell2_nib_mm_accum_kernel(sb_ref, mw_ref, vals_ref, q_ref,
 
 
 def _bell2_word_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
-                             yin_ref, y_ref, *, K, depth, rot):
+                             yin_ref, y_ref, *, K, depth):
     g = pl.program_id(0)
 
     @pl.when(
@@ -511,12 +476,12 @@ def _bell2_word_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
         sub = w & ((1 << WORD_SUB_BITS) - 1)
         xb = w >> WORD_SUB_BITS
         contrib = _word_contrib(vals_ref, pk_ref, x_ref, k, xb,
-                                depth=depth, rot=rot)
+                                depth=depth)
         y_ref[pl.ds(sub, 1), :] += contrib
 
 
 def _bell2_word_mm_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
-                          y_ref, *, K, n_rhs, depth, rot):
+                          y_ref, *, K, n_rhs, depth):
     _zero_on_new_block(sb_ref, y_ref)
     g = pl.program_id(0)
     base0 = g * K
@@ -527,7 +492,7 @@ def _bell2_word_mm_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
         xb = w >> WORD_SUB_BITS
         contribs = [
             _word_contrib(vals_ref, pk_ref, x_ref, k, xb, depth=depth,
-                          rot=rot, b=b)[None]
+                          b=b)[None]
             for b in range(n_rhs)
         ]
         lazy.add(sub, jnp.concatenate(contribs, 0))
@@ -535,7 +500,7 @@ def _bell2_word_mm_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
 
 def _bell2_word_mm_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref,
                                 x_ref, yin_ref, y_ref, *, K, n_rhs,
-                                depth, rot):
+                                depth):
     g = pl.program_id(0)
 
     @pl.when(
@@ -551,7 +516,7 @@ def _bell2_word_mm_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref,
         xb = w >> WORD_SUB_BITS
         contribs = [
             _word_contrib(vals_ref, pk_ref, x_ref, k, xb, depth=depth,
-                          rot=rot, b=b)[None]
+                          b=b)[None]
             for b in range(n_rhs)
         ]
         y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
@@ -569,10 +534,10 @@ def _zero_on_new_block(sb_ref, y_ref):
 
 def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
                   run=1, wmax=SUBLANES, contig=False,
-                  depth=SUBLANES, rot=1):
+                  depth=SUBLANES):
     _zero_on_new_block(sb_ref, y_ref)
 
-    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+    if depth > SUBLANES:  # deep windows (contig only)
         def stack_deep(k):
             return [
                 x_ref[pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES), :]
@@ -582,7 +547,6 @@ def _bell2_kernel(sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K,
         for k0 in range(0, K, run):
             contrib = _chunk_contribs(
                 stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
-                rot=rot,
             )
             y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
         return
@@ -724,6 +688,11 @@ def bell2_spmv_tiles(
     scalar-prefetch fast path (contig/deep plans only). With ``nib``,
     ``packed`` is the int8 q stream and ``nib`` the half-height window
     nibbles (``nib_split``)."""
+    assert rot == 1, (
+        "lane rotation was pruned in round 4: measured 9.2 -> 33.3 "
+        "ns/chunk at rot=2 on v5e (the per-group masked accumulators + "
+        "rolls always cost more than rotation can save in chunks)"
+    )
     C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0, f"chunk stream not padded to K={K} (C={C})"
@@ -741,8 +710,7 @@ def bell2_spmv_tiles(
             )(step_block, meta, vals, packed, nib, x2d)
             return out[:num_row_tiles]
         out = pl.pallas_call(
-            functools.partial(_bell2_word_kernel, K=K, depth=depth,
-                              rot=rot),
+            functools.partial(_bell2_word_kernel, K=K, depth=depth),
             grid_spec=_grid_spec_word(G, K, BT),
             out_shape=jax.ShapeDtypeStruct(
                 (tiles_padded, LANES), x2d.dtype
@@ -752,7 +720,7 @@ def bell2_spmv_tiles(
         return out[:num_row_tiles]
     out = pl.pallas_call(
         functools.partial(_bell2_kernel, K=K, run=run, wmax=wmax,
-                          contig=contig, depth=depth, rot=rot),
+                          contig=contig, depth=depth),
         grid_spec=_grid_spec(G, K, BT),
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         cost_estimate=pl.CostEstimate(
@@ -774,7 +742,7 @@ def bell2_spmv_tiles(
 
 def _bell2_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, run=1,
-    wmax=SUBLANES, contig=False, depth=SUBLANES, rot=1,
+    wmax=SUBLANES, contig=False, depth=SUBLANES,
 ):
     g = pl.program_id(0)
 
@@ -784,7 +752,7 @@ def _bell2_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
-    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+    if depth > SUBLANES:  # deep windows (contig only)
         def stack_deep(k):
             return [
                 x_ref[pl.ds(meta_ref[0, k, 2] + 8 * i, SUBLANES), :]
@@ -794,7 +762,6 @@ def _bell2_accum_kernel(
         for k0 in range(0, K, run):
             contrib = _chunk_contribs(
                 stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
-                rot=rot,
             )
             y_ref[pl.ds(meta_ref[0, k0, 0], 1), :] += contrib
         return
@@ -842,6 +809,11 @@ def bell2_spmv_tiles_accum(
     ``cover_all_tiles=False``); ``y_tiles`` is aliased into the output so
     untouched blocks keep their prior values. Used for the symmetric
     plan's far residual, whose nonzeros touch few tiles."""
+    assert rot == 1, (
+        "lane rotation was pruned in round 4: measured 9.2 -> 33.3 "
+        "ns/chunk at rot=2 on v5e (the per-group masked accumulators + "
+        "rolls always cost more than rotation can save in chunks)"
+    )
     C = vals.shape[0] // SUBLANES
     K, BT = chunks_per_step, tiles_per_block
     assert C % K == 0
@@ -863,7 +835,7 @@ def bell2_spmv_tiles_accum(
             )(step_block, meta, vals, packed, nib, x2d, y_tiles)
         return pl.pallas_call(
             functools.partial(_bell2_word_accum_kernel, K=K,
-                              depth=depth, rot=rot),
+                              depth=depth),
             grid_spec=_grid_spec_word(G, K, BT, accum=True),
             out_shape=jax.ShapeDtypeStruct(
                 (tiles_padded, LANES), x2d.dtype
@@ -892,7 +864,7 @@ def bell2_spmv_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_accum_kernel, K=K, run=run, wmax=wmax,
-                          contig=contig, depth=depth, rot=rot),
+                          contig=contig, depth=depth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype),
         input_output_aliases={5: 0},
@@ -909,11 +881,11 @@ def bell2_spmv_tiles_accum(
 
 def _bell2_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, n_rhs, run=1,
-    wmax=SUBLANES, contig=False, depth=SUBLANES, rot=1,
+    wmax=SUBLANES, contig=False, depth=SUBLANES,
 ):
     _zero_on_new_block(sb_ref, y_ref)
 
-    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+    if depth > SUBLANES:  # deep windows (contig only)
         for k0 in range(0, K, run):
             sub = meta_ref[0, k0, 0]
             contribs = []
@@ -930,7 +902,6 @@ def _bell2_mm_kernel(
 
                 contribs.append(_chunk_contribs(
                     stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
-                    rot=rot,
                 )[None])
             # one strided read-modify-write across all RHS (r3: per-b
             # RMWs dominated the MM kernel once run padding was dropped)
@@ -978,6 +949,11 @@ def bell2_spmm_tiles(
     nib=None,
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
+    assert rot == 1, (
+        "lane rotation was pruned in round 4: measured 9.2 -> 33.3 "
+        "ns/chunk at rot=2 on v5e (the per-group masked accumulators + "
+        "rolls always cost more than rotation can save in chunks)"
+    )
     C = vals.shape[0] // SUBLANES
     B = x3d.shape[0]
     K, BT = chunks_per_step, tiles_per_block
@@ -999,7 +975,7 @@ def bell2_spmm_tiles(
             return out[:, :num_row_tiles]
         out = pl.pallas_call(
             functools.partial(_bell2_word_mm_kernel, K=K, n_rhs=B,
-                              depth=depth, rot=rot),
+                              depth=depth),
             grid_spec=_grid_spec_word(G, K, BT, B=B),
             out_shape=jax.ShapeDtypeStruct(
                 (B, tiles_padded, LANES), x3d.dtype
@@ -1009,7 +985,7 @@ def bell2_spmm_tiles(
         return out[:, :num_row_tiles]
     out = pl.pallas_call(
         functools.partial(_bell2_mm_kernel, K=K, n_rhs=B, run=run, wmax=wmax,
-                          contig=contig, depth=depth, rot=rot),
+                          contig=contig, depth=depth),
         grid_spec=_grid_spec_mm(G, K, BT, B),
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype
@@ -1322,7 +1298,6 @@ def sbell_spmm_tiles(
 def _bell2_mm_accum_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, yin_ref, y_ref, *, K, n_rhs,
     run=1, wmax=SUBLANES, contig=False, depth=SUBLANES,
-    rot=1,
 ):
     g = pl.program_id(0)
 
@@ -1332,7 +1307,7 @@ def _bell2_mm_accum_kernel(
     def _():
         y_ref[...] = yin_ref[...]
 
-    if depth > SUBLANES or rot > 1:  # relaxed packing (contig only)
+    if depth > SUBLANES:  # deep windows (contig only)
         for k0 in range(0, K, run):
             sub = meta_ref[0, k0, 0]
             contribs = []
@@ -1349,7 +1324,6 @@ def _bell2_mm_accum_kernel(
 
                 contribs.append(_chunk_contribs(
                     stack_deep, vals_ref, pk_ref, k0, run, depth=depth,
-                    rot=rot,
                 )[None])
             # one strided read-modify-write across all RHS (r3: per-b
             # RMWs dominated the MM kernel once run padding was dropped)
@@ -1397,6 +1371,11 @@ def bell2_spmm_tiles_accum(
     nib=None,
 ):
     """Y_tiles += A @ X for a sparse accumulating BELL2 stream."""
+    assert rot == 1, (
+        "lane rotation was pruned in round 4: measured 9.2 -> 33.3 "
+        "ns/chunk at rot=2 on v5e (the per-group masked accumulators + "
+        "rolls always cost more than rotation can save in chunks)"
+    )
     C = vals.shape[0] // SUBLANES
     B = x3d.shape[0]
     K, BT = chunks_per_step, tiles_per_block
@@ -1421,7 +1400,7 @@ def bell2_spmm_tiles_accum(
             )(step_block, meta, vals, packed, nib, x3d, y_tiles)
         return pl.pallas_call(
             functools.partial(_bell2_word_mm_accum_kernel, K=K,
-                              n_rhs=B, depth=depth, rot=rot),
+                              n_rhs=B, depth=depth),
             grid_spec=_grid_spec_word(G, K, BT, B=B, accum=True),
             out_shape=jax.ShapeDtypeStruct(
                 (B, tiles_padded, LANES), x3d.dtype
@@ -1452,7 +1431,7 @@ def bell2_spmm_tiles_accum(
     )
     return pl.pallas_call(
         functools.partial(_bell2_mm_accum_kernel, K=K, n_rhs=B, run=run,
-                          wmax=wmax, contig=contig, depth=depth, rot=rot),
+                          wmax=wmax, contig=contig, depth=depth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, tiles_padded, LANES), x3d.dtype

@@ -8,9 +8,10 @@ relaxations trade per-chunk compute for fewer chunks:
 
 - ``window_depth`` 16/32: r2 grows to 5 bits, the kernel gathers from
   depth/8 stacked slabs and selects;
-- ``lane_rot`` 2/4: an entry of row lane l may occupy any lane of the
-  coset {l, l+128/rot, ...} (rc in packed bits 12-13); the kernel keeps
-  one accumulator per rotation group and rolls each back.
+- ``lane_rot`` 2/4 (lane rotation) was PRUNED in round 4: measured on
+  v5e under the lazy-store kernel the rot=2 datapath ran 33.3 ns/chunk
+  vs 9.2 at rot=1, so rotation (at best a 2x chunk saving) can never
+  win; the planner must now never pick it.
 
 Reference analog: the HYB/conflict-coloring kernels that these layouts
 replace (``csr_matrix.tpp:3030-3162``).
@@ -68,13 +69,13 @@ def _check_plan(csr, plan, seed=0):
     return plan
 
 
-def test_lane_rot_plan_correct():
+def test_lane_rot_never_picked():
+    """Rotation is pruned (round 4): even the shape it was built for —
+    dense rows on sparse background — must pack at rot=1 and stay
+    correct (degree grouping absorbs the imbalance instead)."""
     csr = CSR.from_coo(_dense_row_coo())
     plan = build_bell2_plan(csr, dtype=np.float32)
-    assert plan.lane_rot > 1, (
-        f"dense-row matrix should pick lane rotation "
-        f"(depth={plan.window_depth}, rot={plan.lane_rot})"
-    )
+    assert plan.lane_rot == 1
     _check_plan(csr, plan)
 
 
