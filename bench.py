@@ -231,34 +231,43 @@ def bench_full_scale(iters=200):
 
 
 def bench_fp64(n=8192, half_bw=12, seed=0, iters=300):
-    """fp64-on-TPU cost on the record (XLA COO path; the reference runs
-    all kernels in double under --enable-dp — VERDICT r1 missing #6)."""
+    """fp64-on-TPU on the record: the double-float Pallas path (default,
+    ~2^-48 relative — ops/bell2_df) AND the emulated XLA COO path it
+    replaced. The reference runs all kernels in double under
+    --enable-dp (configure.ac:48-67)."""
     import jax
 
     from cfs_spmv_tpu import Format, SpDMV, SparseMatrix
+    from cfs_spmv_tpu.utils.config import config as _cfg
     from cfs_spmv_tpu.utils.platform import allclose_spmv
     from cfs_spmv_tpu.utils.timing import time_matvec
 
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
     csr = make_cant_proxy(n=n, half_bw=half_bw, dtype=np.float64, seed=seed)
-    A = SparseMatrix.create(csr, Format.SSS)
-    t0 = time.perf_counter()
-    sp = SpDMV(A, dtype=np.float64)
-    t_pre = time.perf_counter() - t0
-    x = np.random.default_rng(5).uniform(1, 2, A.ncols)
-    y = np.asarray(sp(x))
-    ok = allclose_spmv(
-        y, A.csr.spmv_host(x), dtype=np.float64,
-        nnz_per_row=A.tuned.nnz_full / A.nrows,
-        scale=A.csr.spmv_host(x, absolute=True),
-    )
-    t_iter = time_matvec(sp, x, iters=iters)
-    log(
-        f"[fp64_xla_coo] n={n} nnz={A.tuned.nnz_full} preproc="
-        f"{t_pre:.2f}s t/iter={t_iter*1e6:.1f}us "
-        f"{A.tuned.nnz_full/t_iter/1e9:.3f} Gnnz/s | correct={ok}"
-    )
+    x = np.random.default_rng(5).uniform(1, 2, csr.ncols)
+    for path, its in (("df", 4 * iters), ("xla", iters)):
+        old = _cfg.fp64_path
+        _cfg.fp64_path = path
+        try:
+            A = SparseMatrix.create(csr, Format.SSS)
+            t0 = time.perf_counter()
+            sp = SpDMV(A, dtype=np.float64)
+            t_pre = time.perf_counter() - t0
+            y = np.asarray(sp(x))
+            ok = allclose_spmv(
+                y, A.csr.spmv_host(x), dtype=np.float64,
+                nnz_per_row=A.tuned.nnz_full / A.nrows,
+                scale=A.csr.spmv_host(x, absolute=True),
+            )
+            t_iter = time_matvec(sp, x, iters=its)
+            log(
+                f"[fp64_{path}] n={n} nnz={A.tuned.nnz_full} preproc="
+                f"{t_pre:.2f}s t/iter={t_iter*1e6:.1f}us "
+                f"{A.tuned.nnz_full/t_iter/1e9:.3f} Gnnz/s | correct={ok}"
+            )
+        finally:
+            _cfg.fp64_path = old
 
 
 def main():

@@ -144,6 +144,9 @@ class Bell2Plan:
     #: square matrix (SDiaPlan; ops/sdia_kernel.sdia_gen_tiles) — the
     #: general-matrix analog of the symmetric SDIA peel
     dia: object | None = None
+    #: optional second value plane in the SAME slot layout (the fp32 lo
+    #: halves of double-float fp64 storage; ``ops/bell2_df``)
+    vals2: np.ndarray | None = None  # (C*8, 128) float32
 
     @property
     def num_chunks(self) -> int:
@@ -899,12 +902,20 @@ def build_bell2_from_arrays(
     cover_all_tiles: bool = True,
     allow_runs: bool = True,
     allow_relax: bool = True,
+    val2: np.ndarray | None = None,
+    force_slot: bool = False,
 ) -> Bell2Plan:
     """Plan construction straight from COO-like triples, in ANY entry
     order and with duplicates forbidden — the packer performs its own
     (tile, seg, q) sort, so callers holding raw triples (e.g. the
     symmetric far stream's mirrored concatenation) skip a full
     canonicalize sort + CSR build over the whole entry set.
+
+    ``force_slot`` bypasses the unit-pipeline predictor so the plan is
+    always slot-packed with contiguous windows — required by consumers
+    that need the word-path kernel contract (the double-float fp64
+    path, ``ops/bell2_df``: banded matrices would otherwise take the
+    unit pipeline, whose free window tables are not word-eligible).
     """
     nnz = len(row)
     auto_k, auto_bt = auto_geometry(n, nnz)
@@ -947,7 +958,7 @@ def build_bell2_from_arrays(
     # cheap scatter predictor: few entries per (tile, segment) means
     # unit-based subrows would sit mostly empty — go straight to the
     # conflict-aware slot packer and skip two full sort pipelines
-    slot_ok = _native.available() or nnz <= 2_000_000
+    slot_ok = _native.available() or nnz <= 2_000_000 or force_slot
     key_space = T * (x_rows + 1)
     kdt = (
         np.int32
@@ -968,6 +979,8 @@ def build_bell2_from_arrays(
         n_ts = len(np.unique(ts_key))
     del ts_key
     avg_per_ts = nnz / max(n_ts, 1)
+    if force_slot:
+        avg_per_ts = 0.0  # straight to the conflict-aware slot packer
     if slot_ok and avg_per_ts >= 24:
         # dense tile-segments still slot-pack better when the entries
         # sit on SPARSE exact diagonals (block structure at random
@@ -1172,6 +1185,8 @@ def build_bell2_from_arrays(
         # written either way — the plan arrays are bit-identical)
         order_p, lane, q = pack_ctx
         val = np.asarray(val)[order_p]
+        if val2 is not None:
+            val2 = np.asarray(val2)[order_p]
         del row, col, tile, seg, pack_ctx, order_p  # dead entry streams
 
     remap, C, blk_full = group_pad(
@@ -1226,6 +1241,14 @@ def build_bell2_from_arrays(
         else:
             packed[ec, e_sub, lane_p] = (q | (e_rc << 12)).astype(np.int16)
         packed[ec, e_sub, q] |= (e_r2 << 7).astype(np.int16)
+    vals2_arr = None
+    if val2 is not None:
+        # second value plane (df lo halves): same slot layout, one
+        # scatter (rot is always 1 — pruned round 4)
+        vals2_arr = np.zeros((C, SUBLANES, LANES), np.float32)
+        vals2_arr[ec, e_sub, lane] = np.ascontiguousarray(
+            np.asarray(val2, np.float32)
+        )
 
     plan = Bell2Plan(
         n, m, nnz,
@@ -1238,6 +1261,8 @@ def build_bell2_from_arrays(
         row_perm=row_perm,
         unperm_pk=None if unperm is None else unperm[0],
         unperm_slabs=None if unperm is None else unperm[1],
+        vals2=None if vals2_arr is None
+        else vals2_arr.reshape(C * SUBLANES, LANES),
     )
     t_asm = time.perf_counter()
     info(

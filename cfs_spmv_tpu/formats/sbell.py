@@ -345,13 +345,24 @@ def build_sbell_plan(
     nnz_paired = len(row)
 
     if nnz_paired == 0:
-        # pure far matrix: reuse the one-sided empty-chunk geometry
-        from .bell2 import _empty_plan
-
-        e = _empty_plan(n, n, T, x_rows, dtype, K, BT)
+        # pure far/SDIA matrix: emit empty covering chunks in the PAIRED
+        # layout — int32 packed with the window SENTINEL 7 in the r2
+        # field and in-block window sentinels in meta, exactly like real
+        # paired padding. (Reusing the one-sided _empty_plan here leaked
+        # int16 packed + zero windows into DistSpDMV's stacked SPMD
+        # paired stream: Mosaic cannot lower the transpose path's int16
+        # shift, and zero windows underflow sub_u on blocks > 0 —
+        # caught at Queen scale, round 4.)
+        chunk_tiles = np.arange(T, dtype=np.int64)
+        remap, C, blk_full = group_pad(chunk_tiles, K, BT)
+        meta = np.zeros((C, META_W), np.int32)
+        meta[remap, 0] = (chunk_tiles % BT).astype(np.int32)
+        meta[:, 2:] = (blk_full.astype(np.int32) * BT)[:, None]
         return SBellPlan(
             n, nnz_full, diag.astype(dtype),
-            e.vals, e.packed, e.meta, e.step_block,
+            np.zeros((C * SUBLANES, LANES), dtype),
+            np.full((C * SUBLANES, LANES), 7 << 7, np.int32),
+            meta, blk_full[::K].copy(),
             T, x_rows, K, BT, 0, far_plan, 2, dia_plan,
         )
 

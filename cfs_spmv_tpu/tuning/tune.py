@@ -157,8 +157,9 @@ def tune(
     if np.dtype(dtype) == np.float64 and not spmv_ops.use_interpret():
         # Pallas TPU has no 64-bit lanes; fp64 (the reference test
         # binary's pinned type, test_spmv_mmf.cpp:17) runs through the
-        # pure-XLA COO path — emulated and slow, for correctness checks
-        # on small matrices (SURVEY §7 hard parts).
+        # double-float Pallas path (fp32 hi+lo pairs, ~2^-48 relative —
+        # ops/bell2_df.py; CFS_FP64=xla selects the old emulated XLA
+        # ELL+COO path, 0.069 Gnnz/s measured).
         import jax
 
         if not jax.config.jax_enable_x64:
@@ -166,6 +167,10 @@ def tune(
                 "float64 requested but jax_enable_x64 is off; enable it "
                 "or use float32"
             )
+        if _cfg.fp64_path == "df":
+            tuned = _tune_fp64_df(csr, fmt)
+            if tuned is not None:
+                return tuned
         return _tune_fp64_xla(csr, fmt)
 
     perm = None
@@ -306,6 +311,89 @@ class CooDevicePlan:
                    for a in (self.row, self.col, self.val,
                              self.ecol, self.evals)
                    if a is not None)
+
+
+def _tune_fp64_df(csr: CSR, fmt: Format) -> TunedMatrix | None:
+    """fp64 via the double-float Pallas kernel (``ops/bell2_df``).
+
+    Values split into fp32 (hi, lo) pairs laid out in ONE BELL2 plan
+    (the lo plane rides ``Bell2Plan.vals2`` in the identical slot
+    layout); x splits on device; y folds back to float64. Returns None
+    when the plan is not word-eligible (non-contig windows or > PREF_
+    CMAX chunks) — the caller then falls back to the XLA path."""
+    import jax.numpy as jnp
+
+    from ..formats.bell2 import build_bell2_from_arrays
+    from ..ops.bell2_df import bell2_spmv_tiles_df, fold_df_tiles, split_df
+    from ..ops.bell2_kernel import meta_word, word_eligible
+    from ..ops.spmv import pad_x
+
+    coo = csr.to_coo().expand_symmetric() if csr.symmetric else csr.to_coo()
+    if coo.nnz == 0:
+        return None  # trivial: let the XLA path return zeros
+    val = np.asarray(coo.val, np.float64)
+    hi = val.astype(np.float32)
+    lo = (val - hi.astype(np.float64)).astype(np.float32)
+    plan = build_bell2_from_arrays(
+        coo.nrows, coo.ncols,
+        np.asarray(coo.row, np.int32), np.asarray(coo.col, np.int32),
+        hi, dtype=np.float32, val2=lo, force_slot=True,
+    )
+    meta_np = np.asarray(plan.meta)
+    if plan.vals2 is None or not word_eligible(
+        meta_np, contig=plan.windows_contig, depth=plan.window_depth,
+        tiles_per_block=plan.tiles_per_block,
+    ):
+        info("tune: fp64 df plan not word-eligible -> XLA fallback")
+        return None
+    dev = {
+        "vh": jnp.asarray(plan.vals),
+        "vl": jnp.asarray(plan.vals2),
+        "pk": jnp.asarray(plan.packed),
+        "mw": jnp.asarray(meta_word(meta_np)),
+        "sb": jnp.asarray(plan.step_block),
+        "perm": None if plan.row_perm is None
+        else jnp.asarray(plan.row_perm),
+    }
+    T = plan.num_row_tiles
+    x_rows, K, BT = plan.x_rows, plan.chunks_per_step, plan.tiles_per_block
+    depth, nrows = plan.window_depth, coo.nrows
+    LANES = 128
+
+    def _one(ops, x):
+        xh, xl = split_df(x)
+        yh, yl = bell2_spmv_tiles_df(
+            ops["vh"], ops["vl"], ops["pk"], ops["mw"], ops["sb"],
+            pad_x(xh, x_rows), pad_x(xl, x_rows),
+            num_row_tiles=T, chunks_per_step=K, tiles_per_block=BT,
+            depth=depth, interpret=spmv_ops.use_interpret(),
+        )
+        tiles = fold_df_tiles(yh, yl, T)
+        flat = tiles.reshape(-1)
+        if ops["perm"] is not None:
+            # grouped plan: gather back to original row order (rows in
+            # unvisited blocks / absent rows hit the zero sentinel)
+            flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+            return flat[ops["perm"]]
+        return flat[:nrows]
+
+    def apply_mv(ops, x):
+        return _one(ops, x)
+
+    def apply_mm(ops, x):
+        cols = [_one(ops, x[:, b]) for b in range(x.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    info(
+        "tune: fp64 -> double-float Pallas path, nnz=%d chunks=%d "
+        "pad=%.2fx depth=%d grouped=%s",
+        coo.nnz, plan.num_chunks, plan.padding_ratio, depth,
+        plan.row_perm is not None,
+    )
+    return TunedMatrix(
+        fmt, coo.nrows, coo.ncols, coo.nnz, csr.symmetric, plan,
+        dev, apply_mv, apply_mm, 0.0, plan.padding_ratio,
+    )
 
 
 def _tune_fp64_xla(csr: CSR, fmt: Format) -> TunedMatrix:

@@ -60,6 +60,12 @@ class Config:
     nib_streams: bool = dataclasses.field(
         default_factory=lambda: env_flag("CFS_NIB", True)
     )
+    #: fp64-on-TPU execution path: "df" = double-float Pallas kernel
+    #: (fp32 hi+lo pairs, ~2^-48 relative, ops/bell2_df.py — the default
+    #: and ~400x faster), "xla" = the emulated XLA ELL+COO path
+    fp64_path: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("CFS_FP64", "df")
+    )
     #: plan cache directory ("" disables); improvement over the reference,
     #: which re-parses and re-tunes from scratch every run (SURVEY §5)
     plan_cache_dir: str = dataclasses.field(

@@ -358,3 +358,28 @@ def test_multihost_noop_single_process():
 
     assert not multihost.is_multiprocess()
     multihost.initialize()  # must be a harmless no-op here
+
+
+def test_empty_paired_plan_layout():
+    """A fully-peeled (pure-SDIA) matrix's paired stream must carry the
+    PAIRED layout: int32 packed with the r2 window sentinel and
+    in-block meta windows. The one-sided _empty_plan reuse leaked int16
+    packed into DistSpDMV's stacked SPMD stream — unlowerable on TPU
+    (Mosaic has no int16 shift for the transpose path) and invisible in
+    interpreter tests (caught at Queen scale on hardware, round 4)."""
+    from cfs_spmv_tpu.formats.sbell import build_sbell_plan
+    from cfs_spmv_tpu.utils.proxies import cant_proxy
+
+    csr = cant_proxy(n=2048, half_bw=8, dtype=np.float64)
+    plan = build_sbell_plan(csr, dtype=np.float32)
+    assert plan.nnz_paired == 0, "cant proxy should peel fully to SDIA"
+    assert plan.packed.dtype == np.int32
+    # every packed slot carries the transpose window sentinel (7)
+    assert int(((plan.packed >> 7) & 0x7).min()) == 7
+    # meta window slots stay inside each chunk's block (sub_u >= 0)
+    BT = plan.tiles_per_block
+    blocks = np.repeat(
+        plan.step_block, plan.chunks_per_step
+    ).astype(np.int64)
+    sub_u = plan.meta[:, 2:] - (blocks * BT)[:, None]
+    assert sub_u.min() >= 0 and sub_u.max() < BT

@@ -1,0 +1,122 @@
+"""Double-float fp64 path (ops/bell2_df, tune._tune_fp64_df).
+
+The reference runs all kernels in IEEE double under ``--enable-dp``
+(``configure.ac:48-67``); the TPU-native answer is double-float (fp32
+hi+lo) arithmetic at ~2^-48 relative precision. These tests run the df
+kernel through the Pallas interpreter and check against the float64
+host oracle at tolerances far tighter than fp32 could reach (the fp32
+path's backward error is ~1e-5 at these sizes; df must land ~1e-11).
+
+On CPU backends ``tune()`` keeps routing fp64 through the interpreter's
+native-f64 Pallas path, so the df tuner is exercised directly here (on
+a real TPU it is the default fp64 route; CFS_FP64=xla restores the
+emulated XLA ELL+COO path).
+"""
+
+import numpy as np
+import pytest
+
+from cfs_spmv_tpu.formats.coo import COO
+from cfs_spmv_tpu.formats.csr import CSR
+from cfs_spmv_tpu.tuning.tune import _tune_fp64_df
+from cfs_spmv_tpu.utils.platform import Format
+
+DF_RTOL = 1e-10  # ~2^-48 x row length, with margin
+
+
+def _rel_err(y, ref, scale):
+    return np.max(np.abs(y - ref) / np.maximum(scale, 1e-300))
+
+
+def _run(csr, seed=0):
+    tuned = _tune_fp64_df(csr, Format.CSR)
+    assert tuned is not None, "df plan should be word-eligible here"
+    x = np.random.default_rng(seed).uniform(1.0, 2.0, csr.ncols)
+    y = np.asarray(tuned.matvec(x))
+    assert y.dtype == np.float64
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    err = _rel_err(y, ref, scale)
+    assert err < DF_RTOL, f"df rel err {err:.3e}"
+    return tuned, err
+
+
+def test_df_banded():
+    coo = COO.random(3000, 3000, 6.0, symmetric=False, bandwidth=100,
+                     seed=1, dtype=np.float64)
+    _run(CSR.from_coo(coo))
+
+
+def test_df_symmetric_expands():
+    coo = COO.random(2000, 2000, 4.0, symmetric=True, bandwidth=60,
+                     seed=2, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    tuned = _tune_fp64_df(csr, Format.SSS)
+    assert tuned is not None
+    x = np.random.default_rng(3).uniform(1.0, 2.0, csr.ncols)
+    y = np.asarray(tuned.matvec(x))
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert _rel_err(y, ref, scale) < DF_RTOL
+
+
+def test_df_scattered_grouped():
+    """High degree variance: the plan may pick degree grouping — the
+    f64 sentinel-gather unpermute branch must stay exact."""
+    rng = np.random.default_rng(4)
+    n = 4096
+    row = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), 3),
+        np.full(600, 17, np.int64),  # one dense row
+    ])
+    col = rng.integers(0, n, len(row))
+    val = rng.uniform(-1, 1, len(row))
+    coo = COO(n, n, row, col, val).canonicalize()
+    _run(CSR.from_coo(coo), seed=5)
+
+
+def test_df_beats_fp32_precision():
+    """The point of the path: the same matrix through fp32 storage has
+    ~1e-5 backward error; df must be ~5 orders tighter."""
+    coo = COO.random(4000, 4000, 10.0, symmetric=False, bandwidth=300,
+                     seed=6, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    _, err = _run(csr, seed=7)
+    # fp32 comparison
+    from cfs_spmv_tpu import SpDMV, SparseMatrix
+
+    A32 = SparseMatrix.create(csr, Format.CSR)
+    x = np.random.default_rng(7).uniform(1.0, 2.0, csr.ncols)
+    y32 = np.asarray(SpDMV(A32, dtype=np.float32)(x.astype(np.float32)))
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    err32 = _rel_err(y32.astype(np.float64), ref, scale)
+    assert err < 1e-4 * err32, (err, err32)
+
+
+def test_df_matmat():
+    coo = COO.random(1500, 1500, 5.0, symmetric=False, bandwidth=80,
+                     seed=8, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    tuned = _tune_fp64_df(csr, Format.CSR)
+    X = np.random.default_rng(9).uniform(1.0, 2.0, (csr.ncols, 3))
+    Y = np.asarray(tuned.matmat(X))
+    for b in range(3):
+        ref = csr.spmv_host(X[:, b])
+        scale = csr.spmv_host(X[:, b], absolute=True)
+        assert _rel_err(Y[:, b], ref, scale) < DF_RTOL
+
+
+def test_df_rectangular():
+    coo = COO.random(900, 1400, 4.0, symmetric=False, bandwidth=200,
+                     seed=10, dtype=np.float64)
+    _run(CSR.from_coo(coo), seed=11)
+
+
+@pytest.mark.parametrize("path", ["df", "xla"])
+def test_fp64_config_knob(path, monkeypatch):
+    """CFS_FP64 selects the fp64 route (smoke: config field plumbed)."""
+    from cfs_spmv_tpu.utils.config import config
+
+    monkeypatch.setattr(config, "fp64_path", path)
+    assert config.fp64_path == path
