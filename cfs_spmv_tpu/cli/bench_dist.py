@@ -141,17 +141,21 @@ def main(argv: list[str] | None = None) -> int:
         chip = detect_chip().name
         nnz_s = rows[0][3]  # measured single-device rate
         print(f"# scaling model (chip={chip}, measured {nnz_s:.3g} nnz/s)")
-        for mode in ("weak", "strong"):
-            for m in scaling_model(
-                A.csr, measured_nnz_s=nnz_s, chip=chip, mode=mode
-            ):
-                print(
-                    f"model {mode} devices: {m['ndev']} "
-                    f"hosts: {m['hosts']} ({m['link']}) far: "
-                    f"{100 * m['far_fraction']:.2f}% t_compute: "
-                    f"{m['t_compute_s']:.3g}s t_comm: {m['t_comm_s']:.3g}s "
-                    f"efficiency: {100 * m['efficiency']:.0f}%"
-                )
+        for comm in ("auto", "ring"):
+            for mode in ("weak", "strong"):
+                for m in scaling_model(
+                    A.csr, measured_nnz_s=nnz_s, chip=chip, mode=mode,
+                    comm=comm,
+                ):
+                    print(
+                        f"model {mode} comm={m['comm']} devices: "
+                        f"{m['ndev']} hosts: {m['hosts']} ({m['link']}) "
+                        f"far: {100 * m['far_fraction']:.2f}% "
+                        f"comm_bytes: {m['comm_bytes']} t_compute: "
+                        f"{m['t_compute_s']:.3g}s t_comm: "
+                        f"{m['t_comm_s']:.3g}s "
+                        f"efficiency: {100 * m['efficiency']:.0f}%"
+                    )
     return 0
 
 

@@ -111,7 +111,7 @@ class DistSpDMV:
     """
 
     def __init__(self, A, mesh, *, dtype=np.float32, dia_min_count=None,
-                 comm: str = "gather", assign: str = "contiguous"):
+                 comm: str = "auto", assign: str = "contiguous"):
         from ..formats.sdia import SDIA_MIN_COUNT
         from ..matrix import SparseMatrix
 
@@ -119,8 +119,11 @@ class DistSpDMV:
         self.dia_min_count = (
             SDIA_MIN_COUNT if dia_min_count is None else dia_min_count
         )
-        if comm not in ("gather", "ring"):
-            raise ValueError(f"comm must be 'gather' or 'ring', got {comm}")
+        if comm not in ("auto", "gather", "ring", "halo"):
+            raise ValueError(
+                "comm must be 'auto', 'gather', 'ring' or 'halo', "
+                f"got {comm}"
+            )
         if assign not in ("contiguous", "cluster"):
             raise ValueError(
                 f"assign must be 'contiguous' or 'cluster', got {assign}"
@@ -132,12 +135,24 @@ class DistSpDMV:
                 "DistSpDMV requires a square matrix (row-partitioned x); "
                 f"got {csr.nrows}x{csr.ncols}"
             )
-        #: halo strategy for the far stream: "gather" = one all_gather of
-        #: x; "ring" = ndev ppermute rotations of the local x segment,
-        #: each overlapped with the partial SpMV against that segment's
-        #: columns (the overlapped-halo-exchange structure of BASELINE
-        #: config 4; SURVEY §5's ring analog)
+        #: halo strategy for the far stream:
+        #: - "halo": TWO neighbor ppermutes exchange only the H boundary
+        #:   rows each side (H = max column overhang of any shard's far
+        #:   entries, 128-aligned); the far plans are built in window
+        #:   coordinates [r0-H, r1+H). The comm volume is 2*H*4 B per
+        #:   device INDEPENDENT of device count — this is what makes
+        #:   banded structures weak-scale across DCN host boundaries
+        #:   (full-x schemes move seg_bytes*(ndev-1); see
+        #:   parallel/scaling.py).
+        #: - "gather": one all_gather of the whole x;
+        #: - "ring": ndev ppermute rotations of the local x segment,
+        #:   each overlapped with the far sub-stream that consumes it
+        #:   (the overlapped-halo-exchange structure of BASELINE
+        #:   config 4 for structures whose halo spans everything);
+        #: - "auto" (default): "halo" when ndev > 1 and H fits within
+        #:   one neighbor segment, else "gather".
         self.comm = comm
+        self.halo_rows = 0
         self.mesh = mesh
         self.ndev = mesh.shape[ROWS_AXIS]
         self.nrows = csr.nrows
@@ -223,8 +238,78 @@ class DistSpDMV:
         )
 
     # ------------------------------------------------------------------
+    def _halo_pregate(self, row, col, T, bt_align=1):
+        """Uniform row partition for halo comm, or None.
+
+        The halo exchange's static neighbor slices require globally
+        contiguous segments: every shard except the last must hold
+        exactly ``shard_rows`` real rows, so halo mode switches the
+        partitioner from equal-nnz to UNIFORM tiles (banded matrices —
+        the shapes halo mode exists for — have near-uniform nnz/row, so
+        the balance cost is small). Viability is pre-gated on the
+        matrix bandwidth: the window overhang H never exceeds
+        max|col - row|, so bw <= one uniform segment guarantees the
+        exact H computed later fits too."""
+        if self.comm not in ("auto", "halo") or self.ndev <= 1:
+            return None
+        if not len(row):
+            return None
+        bw = int(
+            np.max(np.abs(col.astype(np.int64) - row.astype(np.int64)))
+        )
+        Tu = -(-T // self.ndev)
+        Tu = -(-Tu // bt_align) * bt_align
+        if -(-bw // LANES) * LANES > Tu * LANES:
+            return None
+        self._halo_ok = True
+        return np.minimum(
+            np.arange(self.ndev + 1, dtype=np.int64) * Tu, T
+        )
+
+    # ------------------------------------------------------------------
+    def _resolve_comm(self, H_need: int) -> None:
+        """Pick the halo strategy once the far column overhang is known
+        (``H_need`` = max rows any shard's far/x window extends past its
+        own segment, both directions)."""
+        from ..utils.logging import info
+
+        if self.comm == "ring":
+            return
+        H = max(0, -(-int(H_need) // LANES) * LANES)
+        fits = (
+            self.ndev > 1
+            and H <= self.shard_rows
+            and getattr(self, "_halo_ok", False)
+        )
+        if self.comm == "halo" and not fits:
+            from ..utils.logging import warn
+
+            warn(
+                "dist: halo comm requested but the far window (%d rows)"
+                " exceeds one neighbor segment (%d) or ndev == 1 — "
+                "falling back to gather", H, self.shard_rows,
+            )
+            self.comm = "gather"
+            return
+        if self.comm == "auto":
+            self.comm = "halo" if fits else "gather"
+        if self.comm == "halo":
+            self.halo_rows = H
+            info(
+                "dist: halo comm (H=%d rows = %.1f KB/device vs "
+                "%.1f KB full-x)", H, 2 * H * 4 / 1024,
+                (self.ndev - 1) * self.shard_rows * 4 / 1024,
+            )
+
+    # ------------------------------------------------------------------
     def _init_general(self, csr: CSR):
-        bounds = shard_csr_rows(csr, self.ndev, align_tiles=1)
+        T = max(1, -(-csr.nrows // LANES))
+        rl0 = np.diff(csr.indptr)
+        row0 = np.repeat(np.arange(csr.nrows, dtype=np.int64), rl0)
+        bounds = self._halo_pregate(row0, csr.indices, T)
+        del row0
+        if bounds is None:
+            bounds = shard_csr_rows(csr, self.ndev, align_tiles=1)
         T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
         self.shard_rows = T_max * LANES
         self.nnz_full = csr.nnz
@@ -265,11 +350,31 @@ class DistSpDMV:
             self._far = self._build_ring_far(entries)
             self._x_rows_full = self.shard_rows // LANES
         else:
-            plans = []
+            shards = []
+            H_need = 0
             for d in range(self.ndev):
                 r0, nr = self.real[d]
                 shard = _slice_csr_rows(csr, r0, r0 + nr, self.shard_rows)
                 shard.symmetric = False
+                if len(shard.indices):
+                    c = shard.indices
+                    H_need = max(
+                        H_need,
+                        int(r0 - c.min()),
+                        int(c.max()) + 1 - (r0 + self.shard_rows),
+                    )
+                shards.append((r0, shard))
+            self._resolve_comm(H_need)
+            plans = []
+            for r0, shard in shards:
+                if self.comm == "halo":
+                    H = self.halo_rows
+                    shard = CSR(
+                        shard.nrows, self.shard_rows + 2 * H,
+                        shard.indptr,
+                        shard.indices - np.int64(r0 - H),
+                        shard.data, False,
+                    )
                 plans.append(
                     build_bell2_plan(
                         shard, dtype=self.dtype,
@@ -292,18 +397,22 @@ class DistSpDMV:
         val = np.asarray(lower.data)
         self.nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
 
-        # balance on total work per tile (both triangles)
+        # balance on total work per tile (both triangles); halo comm
+        # (viable for banded structure) switches to uniform tiles — its
+        # static neighbor slices need contiguous equal segments
         T = max(1, -(-csr.nrows // LANES))
-        hist = tile_nnz_histogram(lower.indptr, T)
-        histT = np.zeros(T, np.int64)
-        np.add.at(histT, col >> 7, 1)
-        bounds = partition_tiles_by_nnz(hist + histT, self.ndev)
         BT = self.BT
-        bounds = (np.round(bounds / BT) * BT).astype(np.int64)
-        np.maximum.accumulate(bounds, out=bounds)
-        bounds = np.minimum(bounds, -(-csr.nrows // LANES))
-        bounds[0] = 0
-        bounds[-1] = -(-csr.nrows // LANES)
+        bounds = self._halo_pregate(row, col, T, bt_align=BT)
+        if bounds is None:
+            hist = tile_nnz_histogram(lower.indptr, T)
+            histT = np.zeros(T, np.int64)
+            np.add.at(histT, col >> 7, 1)
+            bounds = partition_tiles_by_nnz(hist + histT, self.ndev)
+            bounds = (np.round(bounds / BT) * BT).astype(np.int64)
+            np.maximum.accumulate(bounds, out=bounds)
+            bounds = np.minimum(bounds, -(-csr.nrows // LANES))
+            bounds[0] = 0
+            bounds[-1] = -(-csr.nrows // LANES)
         self.bounds = bounds
 
         T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
@@ -367,6 +476,25 @@ class DistSpDMV:
         # stream)
         keep = sorted(union, key=lambda o: (-union[o], o))[:SDIA_MAX_D]
         self.dia_offsets = tuple(sorted(keep))
+        # the shard SDIA kernel keeps the whole shard y (+x) resident in
+        # VMEM; past ~4M rows/shard that allocation exceeds the remote
+        # AOT compiler's scoped-vmem cap (measured: nlpkkt-scale at
+        # ndev=1, f32[65410,128] > the 16 MB scoped limit). Shards that
+        # big route their diagonals to the paired stream instead —
+        # slower but correct; real pod runs shrink shards below the
+        # gate anyway. Env CFS_DIST_SDIA_ROWS_MAX overrides.
+        import os as _os
+
+        rows_max = int(
+            _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 4_000_000)
+        )
+        if self.dia_offsets and self.shard_rows > rows_max:
+            info(
+                "dist: shard_rows=%d exceeds the shard-SDIA VMEM gate "
+                "(%d): diagonals stay on the paired stream",
+                self.shard_rows, rows_max,
+            )
+            self.dia_offsets = ()
 
         # halo diagnostic: entries (either image) whose x column lives
         # on another device
@@ -383,7 +511,8 @@ class DistSpDMV:
             [[0], np.cumsum(np.bincount(co[mi], minlength=self.ndev))]
         ).astype(np.int64)
 
-        paired_plans, far_plans, diags, dia_vals = [], [], [], []
+        paired_plans, far_raw, diags, dia_vals = [], [], [], []
+        H_need = 0
         from ..formats.sdia import BLOCK_ROWS
         from ..ops.sdia_kernel import _blocks_per_step
 
@@ -441,26 +570,42 @@ class DistSpDMV:
             mr = np.concatenate([fr_d, col[md]])
             mc = np.concatenate([fc_d, row[md]])
             mv = np.concatenate([fv_d, val[md]])
-            if self.comm == "ring":
-                far_plans.append(
-                    ((mr - r0).astype(np.int64), mc.astype(np.int64), mv)
-                )
-            else:
-                fcoo = COO(
-                    self.shard_rows, csr.ncols,
-                    (mr - r0).astype(np.int32), mc.astype(np.int32),
-                    mv.astype(self.dtype),
-                )
-                far_plans.append(
-                    build_bell2_plan(
-                        CSR.from_coo(fcoo), dtype=self.dtype,
-                        chunks_per_step=self.K, tiles_per_block=BT,
-                        allow_runs=False, allow_relax=False,
-                    )
+            far_raw.append((r0, (mr - r0).astype(np.int64),
+                            mc.astype(np.int64), mv))
+            if len(mc):
+                H_need = max(
+                    H_need,
+                    int(r0 - mc.min()),
+                    int(mc.max()) + 1 - (r0 + self.shard_rows),
                 )
             dg = np.zeros(self.shard_rows, self.dtype)
             dg[:nr] = diag[r0:r1]
             diags.append(dg)
+
+        self._resolve_comm(H_need)
+        far_plans = []
+        for r0, lr, gc, mv in far_raw:
+            if self.comm == "ring":
+                far_plans.append((lr, gc, mv))
+                continue
+            if self.comm == "halo":
+                H = self.halo_rows
+                gc = gc - (r0 - H)
+                ncols_w = self.shard_rows + 2 * H
+            else:
+                ncols_w = csr.ncols
+            fcoo = COO(
+                self.shard_rows, ncols_w,
+                lr.astype(np.int32), gc.astype(np.int32),
+                mv.astype(self.dtype),
+            )
+            far_plans.append(
+                build_bell2_plan(
+                    CSR.from_coo(fcoo), dtype=self.dtype,
+                    chunks_per_step=self.K, tiles_per_block=BT,
+                    allow_runs=False, allow_relax=False,
+                )
+            )
 
         # stack paired streams
         K = self.K
@@ -550,6 +695,8 @@ class DistSpDMV:
         K, BT = self.K, self.BT
         K_ring = getattr(self, "K_ring", K)
         ring = self.comm == "ring"
+        halo = self.comm == "halo"
+        H = self.halo_rows
         T_loc = self._far_tiles
         x_rows_full = self._x_rows_full
         x_rows_loc = S // LANES
@@ -612,6 +759,31 @@ class DistSpDMV:
                             [(i, (i - 1) % ndev) for i in range(ndev)],
                         )
                 y = y + tp[:T_loc].reshape(-1)[:S]
+            elif halo:
+                # neighbor halo exchange: the far plans live in window
+                # coordinates [r0-H, r1+H), so only 2*H boundary rows
+                # move — comm volume independent of device count (the
+                # multi-host weak-scaling design; wrap-around halos at
+                # the mesh edges are never referenced: window positions
+                # outside the matrix carry only zero-valued slots)
+                y = y + tiles.reshape(-1)[:S]
+                if H:
+                    left = jax.lax.ppermute(
+                        x_loc[S - H:], ROWS_AXIS,
+                        [(i, (i + 1) % ndev) for i in range(ndev)],
+                    )
+                    right = jax.lax.ppermute(
+                        x_loc[:H], ROWS_AXIS,
+                        [(i, (i - 1) % ndev) for i in range(ndev)],
+                    )
+                    xw = jnp.concatenate([left, x_loc, right])
+                else:
+                    xw = x_loc
+                # the far plan may demand >= window-depth x rows
+                xw = jnp.pad(xw, (0, x_rows_full * LANES - xw.shape[0]))
+                y = y + one_sided(
+                    far, xw.reshape(x_rows_full, LANES), T_loc
+                )
             else:
                 # far/general stream needs full x: one all_gather
                 y = y + tiles.reshape(-1)[:S]
@@ -681,6 +853,8 @@ class DistSpDMV:
         K, BT = self.K, self.BT
         K_ring = getattr(self, "K_ring", K)
         ring = self.comm == "ring"
+        halo = self.comm == "halo"
+        H = self.halo_rows
         T_loc = self._far_tiles
         x_rows_full = self._x_rows_full
         x_rows_loc = S // LANES
@@ -741,6 +915,26 @@ class DistSpDMV:
                             [(i, (i - 1) % ndev) for i in range(ndev)],
                         )
                 y = y + tp[:, :T_loc].reshape(B, -1)[:, :S]
+            elif halo:
+                y = y + tiles.reshape(B, -1)[:, :S]
+                if H:
+                    left = jax.lax.ppermute(
+                        x_loc[S - H:], ROWS_AXIS,
+                        [(i, (i + 1) % ndev) for i in range(ndev)],
+                    )
+                    right = jax.lax.ppermute(
+                        x_loc[:H], ROWS_AXIS,
+                        [(i, (i - 1) % ndev) for i in range(ndev)],
+                    )
+                    xw = jnp.concatenate([left, x_loc, right])
+                else:
+                    xw = x_loc
+                xw = jnp.pad(
+                    xw, ((0, x_rows_full * LANES - xw.shape[0]), (0, 0))
+                )
+                y = y + one_sided_mm(
+                    far, xw.T.reshape(B, x_rows_full, LANES), K
+                )
             else:
                 y = y + tiles.reshape(B, -1)[:, :S]
                 xg = jax.lax.all_gather(x_loc, ROWS_AXIS, tiled=False)

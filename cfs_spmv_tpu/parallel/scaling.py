@@ -87,6 +87,9 @@ class FarProfile:
     far_fraction: float
     halo_cols_max: int      # max distinct remote columns on any device
     seg_bytes: int          # one ring hop payload (x segment, 4B values)
+    #: halo-window overhang in rows (<= matrix bandwidth, 128-aligned):
+    #: what DistSpDMV's comm="halo" neighbor exchange moves per side
+    halo_rows: int = 0
 
 
 def far_profile(csr: CSR, ndev: int) -> FarProfile:
@@ -121,8 +124,11 @@ def far_profile(csr: CSR, ndev: int) -> FarProfile:
         cnt = np.bincount(uniq // (csr.ncols + 1), minlength=ndev)
         halo_max = int(cnt.max())
     seg_rows = int(np.max(np.diff(np.concatenate([[0], ends]))))
+    bw = int(np.abs(col - row).max()) if len(row) else 0
+    halo_rows = -(-bw // LANES) * LANES
     return FarProfile(
-        ndev, far, far / max(nnz_full, 1), halo_max, 4 * seg_rows
+        ndev, far, far / max(nnz_full, 1), halo_max, 4 * seg_rows,
+        halo_rows,
     )
 
 
@@ -132,6 +138,7 @@ def scaling_model(
     measured_nnz_s: float,
     far_nnz_s: float | None = None,
     mode: str = "weak",
+    comm: str = "auto",
     ndevs=(2, 4, 8, 16, 32),
     chip: str = "v5e",
     ici_bytes_s: float | None = None,
@@ -146,8 +153,14 @@ def scaling_model(
     half the near rate, the measured SDIA-vs-BELL2 gap on banded
     structure. Weak scaling replicates this matrix's per-device
     workload (global size grows with ``ndev``); strong scaling divides
-    THIS matrix. Ring hops cross ICI inside a host and DCN between
-    hosts; comm overlaps per-step far compute.
+    THIS matrix.
+
+    ``comm`` mirrors DistSpDMV: "auto" = the neighbor halo exchange
+    when the window fits one segment (2*halo_rows*4 B per device,
+    independent of device count — charged unoverlapped), else a full-x
+    gather ((ndev-1) segment hops); "ring" = ndev-1 rotations, each
+    overlapping its far sub-stream. Hops cross ICI inside a host and
+    DCN between hosts.
 
     Returns a list of dicts (one per device count).
     """
@@ -174,12 +187,28 @@ def scaling_model(
             seg_bytes = 4 * (-(-csr.nrows // nd))
             t_near = (1 - fd) * nnz_full / measured_nnz_s / nd
             t_far = fd * nnz_full / fr / nd
-        hop_link = seg_bytes / ici
-        if hosts > 1:
-            hop_link = max(hop_link, seg_bytes / dcn)
-        t_hop = max(hop_link, t_far / max(nd - 1, 1)) + step_overhead_s
-        t_dev = t_near + (nd - 1) * t_hop
-        t_comm = (nd - 1) * hop_link
+        link = dcn if hosts > 1 else ici
+        seg_rows = seg_bytes // 4
+        use_halo = comm == "auto" and prof.halo_rows <= seg_rows
+        if comm != "ring" and use_halo:
+            # neighbor exchange: 2*H rows once, unoverlapped (upper
+            # bound); far compute runs after
+            t_comm = 2 * prof.halo_rows * 4 / link + step_overhead_s
+            t_dev = t_near + t_far + t_comm
+            used = "halo"
+        elif comm != "ring":
+            # full-x gather: every device receives (nd-1) segments
+            t_comm = (nd - 1) * seg_bytes / link + step_overhead_s
+            t_dev = t_near + t_far + t_comm
+            used = "gather"
+        else:
+            hop_link = seg_bytes / link
+            t_hop = (
+                max(hop_link, t_far / max(nd - 1, 1)) + step_overhead_s
+            )
+            t_dev = t_near + (nd - 1) * t_hop
+            t_comm = (nd - 1) * hop_link
+            used = "ring"
         if mode == "weak":
             eff = t1 / max(t_dev, 1e-30)
         else:
@@ -190,7 +219,12 @@ def scaling_model(
                 hosts=hosts,
                 far_fraction=fd,
                 halo_cols_max=prof.halo_cols_max,
-                comm_bytes=int((nd - 1) * seg_bytes),
+                halo_rows=prof.halo_rows,
+                comm=used,
+                comm_bytes=int(
+                    2 * prof.halo_rows * 4 if used == "halo"
+                    else (nd - 1) * seg_bytes
+                ),
                 link="dcn" if hosts > 1 else "ici",
                 t_compute_s=t_near + t_far,
                 t_comm_s=t_comm,

@@ -99,4 +99,4 @@ def test_cli_bench_dist_gen(capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "devices: 1" in out and "devices: 2" in out
-    assert "model weak devices:" in out and "model strong devices:" in out
+    assert "model weak comm=" in out and "model strong comm=" in out

@@ -383,3 +383,84 @@ def test_empty_paired_plan_layout():
     ).astype(np.int64)
     sub_u = plan.meta[:, 2:] - (blocks * BT)[:, None]
     assert sub_u.min() >= 0 and sub_u.max() < BT
+
+
+def test_halo_comm_banded(mesh8):
+    """Banded matrix on 8 devices: auto comm must pick the halo
+    exchange (2H boundary rows instead of full x), match the host
+    oracle, and agree with gather."""
+    coo = COO.random(4096, 4096, 6.0, bandwidth=150, seed=21,
+                     dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    assert dsp.comm == "halo", dsp.comm
+    assert 0 < dsp.halo_rows <= dsp.shard_rows
+    x = random_x(4096, np.float64)
+    y = np.asarray(dsp(x))
+    y_ref = csr.spmv_host(x)
+    assert allclose_spmv(
+        y, y_ref, dtype=np.float64, nnz_per_row=6,
+        scale=csr.spmv_host(x, absolute=True),
+    )
+    yg = np.asarray(DistSpDMV(csr, mesh8, dtype=np.float64,
+                              comm="gather")(x))
+    assert allclose_spmv(
+        y, yg, dtype=np.float64, nnz_per_row=6,
+        scale=csr.spmv_host(x, absolute=True),
+    )
+
+
+def test_halo_comm_symmetric_mm(mesh8):
+    """Symmetric banded + multi-RHS through the halo exchange."""
+    coo = COO.random(3072, 3072, 5.0, symmetric=True, bandwidth=120,
+                     seed=22, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    assert dsp.comm == "halo"
+    X = np.random.default_rng(23).uniform(1, 2, (3072, 3))
+    Y = np.asarray(dsp.matmat(X))
+    for b in range(3):
+        ref = csr.spmv_host(X[:, b])
+        assert allclose_spmv(
+            Y[:, b], ref, dtype=np.float64,
+            nnz_per_row=csr.nnz * 2 / csr.nrows,
+            scale=csr.spmv_host(X[:, b], absolute=True),
+        )
+
+
+def test_halo_falls_back_on_scattered(mesh8):
+    """Full-bandwidth structure: the halo window cannot fit one
+    neighbor segment — auto must fall back to gather and stay
+    correct."""
+    rng = np.random.default_rng(24)
+    n = 2048
+    row = np.repeat(np.arange(n, dtype=np.int64), 4)
+    col = rng.integers(0, n, 4 * n)
+    coo = COO(n, n, row, col,
+              rng.uniform(-1, 1, 4 * n)).canonicalize()
+    csr = CSR.from_coo(coo)
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64)
+    assert dsp.comm == "gather"
+    x = random_x(n, np.float64)
+    assert allclose_spmv(
+        np.asarray(dsp(x)), csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=4, scale=csr.spmv_host(x, absolute=True),
+    )
+
+
+def test_halo_explicit_request_unviable_warns(mesh8):
+    """comm='halo' on an unviable structure falls back instead of
+    producing a wrong program."""
+    rng = np.random.default_rng(25)
+    n = 1024
+    row = np.repeat(np.arange(n, dtype=np.int64), 3)
+    col = rng.integers(0, n, 3 * n)
+    csr = CSR.from_coo(COO(n, n, row, col,
+                           rng.uniform(-1, 1, 3 * n)).canonicalize())
+    dsp = DistSpDMV(csr, mesh8, dtype=np.float64, comm="halo")
+    assert dsp.comm == "gather"
+    x = random_x(n, np.float64)
+    assert allclose_spmv(
+        np.asarray(dsp(x)), csr.spmv_host(x), dtype=np.float64,
+        nnz_per_row=3, scale=csr.spmv_host(x, absolute=True),
+    )
