@@ -488,13 +488,23 @@ class DistSpDMV:
         rows_max = int(
             _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 4_000_000)
         )
-        if self.dia_offsets and self.shard_rows > rows_max:
+        self.dia_mirror = bool(
+            self.dia_offsets and self.shard_rows > rows_max
+        )
+        self._dia_pos = self.dia_offsets
+        if self.dia_mirror:
+            # mirrored (+d, -d) planes on the x/y-SEGMENTED blocked-y
+            # kernel (sdia_gen_tiles) — 2x value traffic but bounded
+            # per-segment VMEM, exactly like the single-chip >10M-row
+            # path (formats/sdia.py mirror mode)
             info(
-                "dist: shard_rows=%d exceeds the shard-SDIA VMEM gate "
-                "(%d): diagonals stay on the paired stream",
-                self.shard_rows, rows_max,
+                "dist: shard_rows=%d exceeds the whole-y SDIA gate "
+                "(%d): mirrored segmented SDIA", self.shard_rows,
+                rows_max,
             )
-            self.dia_offsets = ()
+            self.dia_offsets = self._dia_pos + tuple(
+                -o for o in self._dia_pos
+            )
 
         # halo diagnostic: entries (either image) whose x column lives
         # on another device
@@ -516,12 +526,13 @@ class DistSpDMV:
         from ..formats.sdia import BLOCK_ROWS
         from ..ops.sdia_kernel import _blocks_per_step
 
-        Du = len(self.dia_offsets)
+        Du = len(self._dia_pos)
+        Dk = len(self.dia_offsets)  # kernel planes (2*Du when mirrored)
         R_loc = -(-self.shard_rows // BLOCK_ROWS)
-        if Du:
-            RB = _blocks_per_step(R_loc, Du)
+        if Dk:
+            RB = _blocks_per_step(R_loc, Dk)
             R_loc = -(-R_loc // RB) * RB
-        dmap = {o: j for j, o in enumerate(self.dia_offsets)}
+        dmap = {o: j for j, o in enumerate(self._dia_pos)}
 
         for d in range(self.ndev):
             r0, nr = self.real[d]
@@ -529,15 +540,21 @@ class DistSpDMV:
             nr_, nc_, nv_ = shard_near[d]
             if Du:
                 offd = nr_ - nc_
-                on_dia = np.isin(offd, self.dia_offsets)
-                dv = np.zeros((R_loc, Du, 8, LANES), self.dtype)
+                on_dia = np.isin(offd, self._dia_pos)
+                dv = np.zeros((R_loc, Dk, 8, LANES), self.dtype)
                 g = nr_[on_dia]
                 j = np.array(
                     [dmap[int(o)] for o in offd[on_dia]], np.int64
                 ) if on_dia.any() else np.zeros(0, np.int64)
+                v_dia = nv_[on_dia].astype(self.dtype)
                 dv[g // BLOCK_ROWS, j, (g // LANES) % 8, g % LANES] = (
-                    nv_[on_dia].astype(self.dtype)
+                    v_dia
                 )
+                if self.dia_mirror:
+                    # the -d plane: same values scattered by COLUMN
+                    gc = nc_[on_dia]
+                    dv[gc // BLOCK_ROWS, Du + j,
+                       (gc // LANES) % 8, gc % LANES] = v_dia
                 dia_vals.append(dv)
                 nr_, nc_, nv_ = nr_[~on_dia], nc_[~on_dia], nv_[~on_dia]
             sl = slice(row_lo[d], row_hi[d])
@@ -683,7 +700,7 @@ class DistSpDMV:
             bell2_spmv_tiles_accum,
             sbell_spmv_tiles,
         )
-        from ..ops.sdia_kernel import sdia_sym_tiles
+        from ..ops.sdia_kernel import sdia_gen_tiles, sdia_sym_tiles
         from ..ops.spmv import use_interpret
 
         ndev = self.ndev
@@ -727,7 +744,12 @@ class DistSpDMV:
                     interpret=interpret,
                 )
                 if dia_v is not None:
-                    tiles = sdia_sym_tiles(
+                    dia_fn = (
+                        sdia_gen_tiles
+                        if any(o < 0 for o in dia_offsets)
+                        else sdia_sym_tiles
+                    )
+                    tiles = dia_fn(
                         dia_v[0], x2d_loc, tiles,
                         offsets=dia_offsets, interpret=interpret,
                     )
@@ -841,7 +863,7 @@ class DistSpDMV:
             bell2_spmm_tiles_accum,
             sbell_spmm_tiles,
         )
-        from ..ops.sdia_kernel import sdia_sym_tiles_mm
+        from ..ops.sdia_kernel import sdia_gen_tiles_mm, sdia_sym_tiles_mm
         from ..ops.spmv import use_interpret
 
         ndev = self.ndev
@@ -886,7 +908,12 @@ class DistSpDMV:
                     interpret=interpret,
                 )
                 if dia_v is not None:
-                    tiles = sdia_sym_tiles_mm(
+                    dia_fn_mm = (
+                        sdia_gen_tiles_mm
+                        if any(o < 0 for o in dia_offsets)
+                        else sdia_sym_tiles_mm
+                    )
+                    tiles = dia_fn_mm(
                         dia_v[0], x3d_loc, tiles,
                         offsets=dia_offsets, interpret=interpret,
                     )
