@@ -141,11 +141,12 @@ def main(argv: list[str] | None = None) -> int:
         chip = detect_chip().name
         nnz_s = rows[0][3]  # measured single-device rate
         print(f"# scaling model (chip={chip}, measured {nnz_s:.3g} nnz/s)")
+        profiles = {}  # far_profile is O(nnz) host work: share across modes
         for comm in ("auto", "ring"):
             for mode in ("weak", "strong"):
                 for m in scaling_model(
                     A.csr, measured_nnz_s=nnz_s, chip=chip, mode=mode,
-                    comm=comm,
+                    comm=comm, profiles=profiles,
                 ):
                     print(
                         f"model {mode} comm={m['comm']} devices: "

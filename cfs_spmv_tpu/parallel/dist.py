@@ -485,8 +485,10 @@ class DistSpDMV:
         # gate anyway. Env CFS_DIST_SDIA_ROWS_MAX overrides.
         import os as _os
 
+        # empirical cap: Queen-scale (4.15M rows) whole-y compiles
+        # through the remote AOT path, nlpkkt-scale (8.37M) does not
         rows_max = int(
-            _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 4_000_000)
+            _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 5_000_000)
         )
         self.dia_mirror = bool(
             self.dia_offsets and self.shard_rows > rows_max

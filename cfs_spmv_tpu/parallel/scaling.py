@@ -145,6 +145,7 @@ def scaling_model(
     dcn_bytes_s: float | None = None,
     chips_per_host: int | None = None,
     step_overhead_s: float = STEP_OVERHEAD_S,
+    profiles: dict | None = None,
 ):
     """Modeled weak- or strong-scaling efficiency over ``ndevs``.
 
@@ -172,7 +173,12 @@ def scaling_model(
     t1 = nnz_full / max(measured_nnz_s, 1.0)
     rows = []
     for nd in ndevs:
-        prof = far_profile(csr, nd)
+        if profiles is not None and nd in profiles:
+            prof = profiles[nd]
+        else:
+            prof = far_profile(csr, nd)
+            if profiles is not None:
+                profiles[nd] = prof
         fd = prof.far_fraction
         hosts = -(-nd // cph)
         if mode == "weak":
