@@ -153,6 +153,7 @@ class SparseMatrix:
             dtype=dtype, **kwargs,
         )
         self._tune_sig = tune_signature(tuning, dtype, **kwargs)
+        self._spdmv_sig = None  # direct tune() is authoritative
         return self
 
     def dense_vector_multiply(self, x):

@@ -31,16 +31,31 @@ class SpDMV:
         dtype=np.float32,
         **kwargs,
     ):
+        import numpy as _np
+
         from ..matrix import tune_signature
 
         self.A = A
         sig = tune_signature(tuning, dtype, **kwargs)
-        if A.tuned is None or getattr(A, "_tune_sig", None) != sig:
-            # retune when the requested configuration differs from the
-            # cached plan — e.g. a second SpDMV(A, dtype=np.float64)
-            # must not feed fp64 x into a float32 Pallas plan (caught by
-            # the round-4 verify drive)
+        stored = getattr(A, "_tune_sig", None)
+        dtype_differs = (
+            stored is not None and stored[1] != _np.dtype(dtype).name
+        )
+        # retune when: untuned; the plan's dtype differs (a second
+        # SpDMV(A, dtype=np.float64) must not feed fp64 x into a
+        # float32 Pallas plan — caught by the round-4 verify drive); or
+        # a PREVIOUS SpDMV tuned with a different configuration. An
+        # explicit user A.tune(...) with non-default kwargs is
+        # authoritative and is NOT silently re-run over preference
+        # fields (reorder/values/tuning).
+        if (
+            A.tuned is None
+            or dtype_differs
+            or (getattr(A, "_spdmv_sig", None) is not None
+                and A._spdmv_sig != sig)
+        ):
             A.tune(self.kernel, tuning, dtype=dtype, **kwargs)
+        A._spdmv_sig = sig
 
     def __call__(self, x):
         """Dimension-checked apply (ref ``sparse_kernel.tpp:20-27``)."""

@@ -54,9 +54,14 @@ _SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for fp32
 
 
 def split_df(a):
-    """(hi, lo) fp32 pair of a float64 array (host or device)."""
-    hi = a.astype(jnp.float32)
-    lo = (a - hi.astype(jnp.float64)).astype(jnp.float32)
+    """(hi, lo) fp32 pair of a float64 array.
+
+    Works on numpy AND jax arrays unchanged (``astype`` by name), so
+    the plan builder's value split and the apply-time x split are the
+    SAME code — the kernel's precision contract depends on ``lo`` being
+    the exact f64 residual of ``hi`` in both places."""
+    hi = a.astype("float32")
+    lo = (a - hi.astype("float64")).astype("float32")
     return hi, lo
 
 

@@ -304,10 +304,15 @@ class DistSpDMV:
     # ------------------------------------------------------------------
     def _init_general(self, csr: CSR):
         T = max(1, -(-csr.nrows // LANES))
-        rl0 = np.diff(csr.indptr)
-        row0 = np.repeat(np.arange(csr.nrows, dtype=np.int64), rl0)
-        bounds = self._halo_pregate(row0, csr.indices, T)
-        del row0
+        bounds = None
+        if self.comm in ("auto", "halo") and self.ndev > 1:
+            # O(nnz) row stream only when the pregate can actually use
+            # it (comm='ring'/'gather' or 1 device skip it entirely)
+            row0 = np.repeat(
+                np.arange(csr.nrows, dtype=np.int64), np.diff(csr.indptr)
+            )
+            bounds = self._halo_pregate(row0, csr.indices, T)
+            del row0
         if bounds is None:
             bounds = shard_csr_rows(csr, self.ndev, align_tiles=1)
         T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))

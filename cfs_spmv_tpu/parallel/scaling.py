@@ -195,7 +195,11 @@ def scaling_model(
             t_far = fd * nnz_full / fr / nd
         link = dcn if hosts > 1 else ici
         seg_rows = seg_bytes // 4
-        use_halo = comm == "auto" and prof.halo_rows <= seg_rows
+        # 'halo' mirrors DistSpDMV's explicit request (falls back to
+        # gather when the window cannot fit a segment, like the impl)
+        use_halo = (
+            comm in ("auto", "halo") and prof.halo_rows <= seg_rows
+        )
         if comm != "ring" and use_halo:
             # neighbor exchange: 2*H rows once, unoverlapped (upper
             # bound); far compute runs after

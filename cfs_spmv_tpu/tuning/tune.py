@@ -167,8 +167,13 @@ def tune(
                 "float64 requested but jax_enable_x64 is off; enable it "
                 "or use float32"
             )
+        if _cfg.fp64_path not in ("df", "xla"):
+            raise ValueError(
+                f"CFS_FP64 must be 'df' or 'xla', got "
+                f"{_cfg.fp64_path!r}"
+            )
         if _cfg.fp64_path == "df":
-            tuned = _tune_fp64_df(csr, fmt)
+            tuned = _tune_fp64_df(csr, fmt, cache_dir=cache_dir)
             if tuned is not None:
                 return tuned
         return _tune_fp64_xla(csr, fmt)
@@ -313,7 +318,8 @@ class CooDevicePlan:
                    if a is not None)
 
 
-def _tune_fp64_df(csr: CSR, fmt: Format) -> TunedMatrix | None:
+def _tune_fp64_df(csr: CSR, fmt: Format,
+                  cache_dir: str | None = None) -> TunedMatrix | None:
     """fp64 via the double-float Pallas kernel (``ops/bell2_df``).
 
     Values split into fp32 (hi, lo) pairs laid out in ONE BELL2 plan
@@ -328,16 +334,22 @@ def _tune_fp64_df(csr: CSR, fmt: Format) -> TunedMatrix | None:
     from ..ops.bell2_kernel import meta_word, word_eligible
     from ..ops.spmv import pad_x
 
+    from ..io.plancache import cached_build
+
     coo = csr.to_coo().expand_symmetric() if csr.symmetric else csr.to_coo()
     if coo.nnz == 0:
         return None  # trivial: let the XLA path return zeros
-    val = np.asarray(coo.val, np.float64)
-    hi = val.astype(np.float32)
-    lo = (val - hi.astype(np.float64)).astype(np.float32)
-    plan = build_bell2_from_arrays(
-        coo.nrows, coo.ncols,
-        np.asarray(coo.row, np.int32), np.asarray(coo.col, np.int32),
-        hi, dtype=np.float32, val2=lo, force_slot=True,
+
+    def _build():
+        hi, lo = split_df(np.asarray(coo.val, np.float64))
+        return build_bell2_from_arrays(
+            coo.nrows, coo.ncols,
+            np.asarray(coo.row, np.int32), np.asarray(coo.col, np.int32),
+            hi, dtype=np.float32, val2=lo, force_slot=True,
+        )
+
+    plan = cached_build(
+        _build, csr, np.float64, cache_dir, fmt="bell2_df",
     )
     meta_np = np.asarray(plan.meta)
     if plan.vals2 is None or not word_eligible(

@@ -211,3 +211,17 @@ def test_spdmv_retunes_on_config_change(small_sym_coo):
     np.testing.assert_array_equal(
         y32, np.asarray(SpDMV(A, dtype=np.float32)(x32))
     )
+
+
+def test_spdmv_respects_explicit_user_tune(small_sym_coo):
+    """An explicit A.tune(...) with non-default preference kwargs is
+    authoritative: a following default SpDMV(A) must NOT silently
+    re-run preprocessing over it (review r4). dtype mismatches still
+    force a retune (correctness)."""
+    A = SparseMatrix.create(small_sym_coo, Format.SSS)
+    A.tune(dtype=np.float32, reorder=False)
+    plan = A.tuned
+    SpDMV(A)  # defaults (reorder="auto") — must reuse
+    assert A.tuned is plan
+    SpDMV(A, dtype=np.float64)  # dtype change — must retune
+    assert A.tuned is not plan
