@@ -49,6 +49,7 @@ PREF_CMAX = 120_000
 WORD_SUB_BITS = 10
 
 __all__ = [
+    "word_segments",
     "bell2_spmv_tiles",
     "bell2_spmv_tiles_accum",
     "bell2_spmm_tiles",
@@ -238,16 +239,57 @@ def meta_word(meta):
     return (meta[:, 0] | (meta[:, 2] << WORD_SUB_BITS)).astype(jnp.int32)
 
 
-def word_eligible(meta_np, *, contig, depth, tiles_per_block) -> bool:
-    """Whether a plan's meta can take the scalar-prefetch word path."""
+def word_eligible(meta_np, *, contig, depth, tiles_per_block,
+                  step_block_np=None) -> bool:
+    """Whether a plan's meta can take the scalar-prefetch word path.
+
+    With ``step_block_np`` the PREF_CMAX chunk cap is lifted when the
+    stream can be SEGMENTED at out-block boundaries (``word_segments``)
+    — each chained pallas_call prefetches only its own slice."""
     C = meta_np.shape[0]
+    fits = C <= PREF_CMAX or (
+        step_block_np is not None
+        and word_segments(step_block_np, C // max(len(step_block_np), 1))
+        is not None
+    )
     return (
         (contig or depth > SUBLANES)
-        and C <= PREF_CMAX
+        and fits
         and tiles_per_block <= (1 << WORD_SUB_BITS)
         and (len(meta_np) == 0
              or int(meta_np[:, 2].max(initial=0)) < (1 << 21))
     )
+
+
+def word_segments(step_block_np, K):
+    """Grid-step boundaries splitting a word-path stream into segments
+    of <= PREF_CMAX chunks, cutting ONLY where the output block changes
+    (each block's chunks land in exactly one segment, so the per-call
+    zero-on-new-block and lazy-store semantics are preserved; later
+    calls alias the previous output, leaving foreign blocks untouched).
+    Returns a tuple of step indices (0, ..., G) with >= 2 entries, or
+    None when some single block exceeds PREF_CMAX chunks. A () return
+    never happens; len == 2 means one segment (no chaining needed)."""
+    sb = np.asarray(step_block_np)
+    G = len(sb)
+    if G == 0 or K <= 0:
+        return (0, G)
+    max_steps = max(PREF_CMAX // K, 1)
+    # step indices where a new block starts
+    starts = np.flatnonzero(np.diff(sb) != 0) + 1
+    bounds = [0]
+    cur = 0
+    for nxt in list(starts) + [G]:
+        if nxt - bounds[-1] > max_steps:
+            # must cut before this block; cur is the last block start
+            if cur == bounds[-1]:
+                return None  # single block wider than the cap
+            bounds.append(cur)
+            if nxt - cur > max_steps:
+                return None
+        cur = nxt
+    bounds.append(G)
+    return tuple(int(b) for b in bounds)
 
 
 def _word_contrib(vals_ref, pk_ref, x_ref, k, xb, *, depth, b=None):
@@ -522,6 +564,106 @@ def _bell2_word_mm_accum_kernel(sb_ref, mw_ref, vals_ref, pk_ref,
         y_ref[:, pl.ds(sub, 1), :] += jnp.concatenate(contribs, 0)
 
 
+def _bell2_word_seg_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
+                           yin_ref, y_ref, *, K, depth):
+    """Word kernel over an ALIASED output (chained segment calls): the
+    incoming y is identical storage, untouched except this segment's
+    own blocks (zero-on-new-block + lazy stores as usual)."""
+    del yin_ref
+    _bell2_word_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref, y_ref,
+                       K=K, depth=depth)
+
+
+def _bell2_nib_seg_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref,
+                          x_ref, yin_ref, y_ref, *, K, depth):
+    del yin_ref
+    _bell2_nib_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref, x_ref,
+                      y_ref, K=K, depth=depth)
+
+
+def _bell2_word_mm_seg_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
+                              yin_ref, y_ref, *, K, n_rhs, depth):
+    del yin_ref
+    _bell2_word_mm_kernel(sb_ref, mw_ref, vals_ref, pk_ref, x_ref,
+                          y_ref, K=K, n_rhs=n_rhs, depth=depth)
+
+
+def _bell2_nib_mm_seg_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref,
+                             x_ref, yin_ref, y_ref, *, K, n_rhs, depth):
+    del yin_ref
+    _bell2_nib_mm_kernel(sb_ref, mw_ref, vals_ref, q_ref, nib_ref,
+                         x_ref, y_ref, K=K, n_rhs=n_rhs, depth=depth)
+
+
+def _run_word_segmented(segs, K, BT, depth, mw, vals, packed, nib,
+                        step_block, x, out_shape, B=None,
+                        interpret=False):
+    """Chained per-segment pallas_calls for word/nib streams past
+    PREF_CMAX chunks: each call scalar-prefetches only its own meta
+    slice and aliases the previous output (segments never share an
+    out block — ``word_segments``)."""
+    out = None
+    nibk = nib is not None
+    for i in range(len(segs) - 1):
+        s0, s1 = segs[i], segs[i + 1]
+        c0, c1 = s0 * K, s1 * K
+        G = s1 - s0
+        sb_i = step_block[s0:s1]
+        mw_i = mw[c0:c1]
+        vals_i = vals[c0 * SUBLANES:c1 * SUBLANES]
+        pk_i = packed[c0 * SUBLANES:c1 * SUBLANES]
+        args = [sb_i, mw_i, vals_i, pk_i]
+        if nibk:
+            args.append(nib[c0 * 4:c1 * 4])
+        args.append(x)
+        if i == 0:
+            if nibk:
+                kern = functools.partial(
+                    _bell2_nib_kernel if B is None else
+                    functools.partial(_bell2_nib_mm_kernel, n_rhs=B),
+                    K=K, depth=depth,
+                )
+            else:
+                kern = functools.partial(
+                    _bell2_word_kernel if B is None else
+                    functools.partial(_bell2_word_mm_kernel, n_rhs=B),
+                    K=K, depth=depth,
+                )
+            out = pl.pallas_call(
+                kern,
+                grid_spec=_grid_spec_word(G, K, BT, B=B, nib=nibk),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*args)
+        else:
+            if nibk:
+                kern = functools.partial(
+                    _bell2_nib_seg_kernel if B is None else
+                    functools.partial(_bell2_nib_mm_seg_kernel, n_rhs=B),
+                    K=K, depth=depth,
+                )
+                alias = {6: 0}
+            else:
+                kern = functools.partial(
+                    _bell2_word_seg_kernel if B is None else
+                    functools.partial(
+                        _bell2_word_mm_seg_kernel, n_rhs=B
+                    ),
+                    K=K, depth=depth,
+                )
+                alias = {5: 0}
+            out = pl.pallas_call(
+                kern,
+                grid_spec=_grid_spec_word(
+                    G, K, BT, B=B, accum=True, nib=nibk
+                ),
+                out_shape=out_shape,
+                input_output_aliases=alias,
+                interpret=interpret,
+            )(*args, out)
+    return out
+
+
 def _zero_on_new_block(sb_ref, y_ref):
     g = pl.program_id(0)
 
@@ -664,7 +806,7 @@ def _grid_spec_mm(G, K, BT, B):
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax", "contig",
-                     "depth", "rot"),
+                     "depth", "rot", "segs"),
 )
 @_no_x64
 def bell2_spmv_tiles(
@@ -680,6 +822,7 @@ def bell2_spmv_tiles(
     depth: int = SUBLANES,
     rot: int = 1,
     nib=None,
+    segs: tuple = (),
 ):
     """y tiles (T, 128) = A @ x for one BELL2 stream.
 
@@ -687,7 +830,8 @@ def bell2_spmv_tiles(
     word array (``meta_word``) — the word form takes the
     scalar-prefetch fast path (contig/deep plans only). With ``nib``,
     ``packed`` is the int8 q stream and ``nib`` the half-height window
-    nibbles (``nib_split``)."""
+    nibbles (``nib_split``). ``segs`` (``word_segments``) chains
+    per-segment calls for streams past PREF_CMAX chunks."""
     assert rot == 1, (
         "lane rotation was pruned in round 4: measured 9.2 -> 33.3 "
         "ns/chunk at rot=2 on v5e (the per-group masked accumulators + "
@@ -699,22 +843,25 @@ def bell2_spmv_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     if meta.ndim == 1:
+        oshape = jax.ShapeDtypeStruct((tiles_padded, LANES), x2d.dtype)
+        if len(segs) > 2:
+            out = _run_word_segmented(
+                segs, K, BT, depth, meta, vals, packed, nib,
+                step_block, x2d, oshape, interpret=interpret,
+            )
+            return out[:num_row_tiles]
         if nib is not None:
             out = pl.pallas_call(
                 functools.partial(_bell2_nib_kernel, K=K, depth=depth),
                 grid_spec=_grid_spec_word(G, K, BT, nib=True),
-                out_shape=jax.ShapeDtypeStruct(
-                    (tiles_padded, LANES), x2d.dtype
-                ),
+                out_shape=oshape,
                 interpret=interpret,
             )(step_block, meta, vals, packed, nib, x2d)
             return out[:num_row_tiles]
         out = pl.pallas_call(
             functools.partial(_bell2_word_kernel, K=K, depth=depth),
             grid_spec=_grid_spec_word(G, K, BT),
-            out_shape=jax.ShapeDtypeStruct(
-                (tiles_padded, LANES), x2d.dtype
-            ),
+            out_shape=oshape,
             interpret=interpret,
         )(step_block, meta, vals, packed, x2d)
         return out[:num_row_tiles]
@@ -931,7 +1078,7 @@ def _bell2_mm_kernel(
     jax.jit,
     static_argnames=("num_row_tiles", "chunks_per_step", "tiles_per_block",
                      "interpret", "run", "wmax", "contig",
-                     "depth", "rot"),
+                     "depth", "rot", "segs"),
 )
 @_no_x64
 def bell2_spmm_tiles(
@@ -947,6 +1094,7 @@ def bell2_spmm_tiles(
     depth: int = SUBLANES,
     rot: int = 1,
     nib=None,
+    segs: tuple = (),
 ):
     """Y tiles (B, T, 128) = A @ X for B right-hand sides."""
     assert rot == 1, (
@@ -961,15 +1109,22 @@ def bell2_spmm_tiles(
     G = C // K
     tiles_padded = -(-num_row_tiles // BT) * BT
     if meta.ndim == 1:
+        oshape = jax.ShapeDtypeStruct(
+            (B, tiles_padded, LANES), x3d.dtype
+        )
+        if len(segs) > 2:
+            out = _run_word_segmented(
+                segs, K, BT, depth, meta, vals, packed, nib,
+                step_block, x3d, oshape, B=B, interpret=interpret,
+            )
+            return out[:, :num_row_tiles]
         if nib is not None:
             out = pl.pallas_call(
                 functools.partial(
                     _bell2_nib_mm_kernel, K=K, n_rhs=B, depth=depth
                 ),
                 grid_spec=_grid_spec_word(G, K, BT, B=B, nib=True),
-                out_shape=jax.ShapeDtypeStruct(
-                    (B, tiles_padded, LANES), x3d.dtype
-                ),
+                out_shape=oshape,
                 interpret=interpret,
             )(step_block, meta, vals, packed, nib, x3d)
             return out[:, :num_row_tiles]
@@ -977,9 +1132,7 @@ def bell2_spmm_tiles(
             functools.partial(_bell2_word_mm_kernel, K=K, n_rhs=B,
                               depth=depth),
             grid_spec=_grid_spec_word(G, K, BT, B=B),
-            out_shape=jax.ShapeDtypeStruct(
-                (B, tiles_padded, LANES), x3d.dtype
-            ),
+            out_shape=oshape,
             interpret=interpret,
         )(step_block, meta, vals, packed, x3d)
         return out[:, :num_row_tiles]

@@ -19,6 +19,7 @@ import numpy as np
 from ..formats.bell2 import LANES, SUBLANES, Bell2Plan
 from ..formats.sbell import SBellPlan
 from ..utils.config import config
+from . import bell2_kernel as _bk
 from .bell2_kernel import (
     bell2_spmm_tiles,
     bell2_spmm_tiles_accum,
@@ -31,6 +32,7 @@ from .bell2_kernel import (
     unperm_gather_tiles,
     unperm_gather_tiles_mm,
     word_eligible,
+    word_segments,
 )
 from .sdia_kernel import (
     sdia_gen_tiles,
@@ -97,6 +99,12 @@ class Bell2Device:
     #: half-height 4-bit window stream (``nib_split``); when set,
     #: ``packed`` is the int8 q stream (1.5 B/slot instead of int16's 2)
     nib: Any = None
+    #: grid-step boundaries chaining per-segment word-path calls for
+    #: streams past PREF_CMAX chunks (``word_segments``; () = single
+    #: call)
+    word_segs: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
     #: degree-grouped row tiling: (nrows,) int32 slot of each original
     #: row in the compact permuted output (sentinel num_row_tiles*128
     #: for rows absent from the stream). Apply unpermutes with the
@@ -145,14 +153,21 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
     meta_np = np.asarray(plan.meta)
     nib_dev = None
     packed_np = np.asarray(plan.packed)
+    sb_np = np.asarray(plan.step_block)
+    word_segs = ()
+    # sparse (accumulating) streams have no segmented kernel variant:
+    # they keep the plain PREF_CMAX cap
     if word_eligible(
         meta_np, contig=plan.windows_contig, depth=plan.window_depth,
         tiles_per_block=plan.tiles_per_block,
+        step_block_np=None if plan.sparse_stream else sb_np,
     ):
         # scalar-prefetch fast path: one packed int32/chunk in SMEM
         # instead of the per-step SMEM-blocked table, which stalls the
         # stream pipeline ~677 ns/step (docs/KERNEL_NOTES_R3.md)
         meta_dev = jnp.asarray(meta_word(meta_np))
+        if meta_np.shape[0] > _bk.PREF_CMAX:  # module attr: patchable
+            word_segs = word_segments(sb_np, plan.chunks_per_step)
         if (
             config.nib_streams
             and packed_np.dtype == np.int16
@@ -187,6 +202,7 @@ def to_device(plan: Bell2Plan) -> Bell2Device:
         lane_rot=plan.lane_rot,
         sparse_stream=plan.sparse_stream,
         has_work=plan.nnz > 0,
+        word_segs=word_segs or (),
         row_perm=None if plan.row_perm is None
         else jnp.asarray(plan.row_perm),
         unperm_pk=None if plan.unperm_pk is None
@@ -296,7 +312,8 @@ def bell2_apply(dev: Bell2Device, x: jax.Array) -> jax.Array:
         )[: dev.num_row_tiles]
     else:
         tiles = bell2_spmv_tiles(
-            dev.vals, dev.packed, dev.meta, dev.step_block, x2d, **kw
+            dev.vals, dev.packed, dev.meta, dev.step_block, x2d,
+            segs=dev.word_segs, **kw
         )
     if dev.row_perm is not None:
         # degree-grouped stream: unpermute the compact output (Pallas
@@ -340,7 +357,8 @@ def bell2_apply_mm(dev: Bell2Device, x: jax.Array) -> jax.Array:
         )[:, : dev.num_row_tiles]
     else:
         tiles = bell2_spmm_tiles(
-            dev.vals, dev.packed, dev.meta, dev.step_block, x3d, **kw
+            dev.vals, dev.packed, dev.meta, dev.step_block, x3d,
+            segs=dev.word_segs, **kw
         )
     if dev.row_perm is not None:
         ot = _unperm_tiles_mm(dev, tiles)
@@ -396,7 +414,8 @@ def sbell_apply(dev: SBellDevice, x: jax.Array) -> jax.Array:
             # degree-grouped far stream: dense over its compact tiles;
             # unpermute (Pallas kernel), then add into the paired tiles
             ftiles = bell2_spmv_tiles(
-                fd.vals, fd.packed, fd.meta, fd.step_block, x2d, **fkw
+                fd.vals, fd.packed, fd.meta, fd.step_block, x2d,
+                segs=fd.word_segs, **fkw
             )
             ot = _unperm_tiles(fd, ftiles)
             NT = dev.num_row_tiles
@@ -465,7 +484,8 @@ def sbell_apply_mm(dev: SBellDevice, x: jax.Array) -> jax.Array:
         )
         if fd.row_perm is not None:
             ftiles = bell2_spmm_tiles(
-                fd.vals, fd.packed, fd.meta, fd.step_block, x3d, **fkw
+                fd.vals, fd.packed, fd.meta, fd.step_block, x3d,
+                segs=fd.word_segs, **fkw
             )
             ot = _unperm_tiles_mm(fd, ftiles)
             NT = dev.num_row_tiles

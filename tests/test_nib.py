@@ -126,3 +126,50 @@ def test_nib_gate_rejects_odd_k():
     y = np.asarray(ops.bell2_apply(dev, x))
     ref = csr.spmv_host(x.astype(np.float64))
     assert np.allclose(y, ref, rtol=1e-5, atol=1e-5 * np.abs(ref).max())
+
+
+def test_word_path_segmentation(monkeypatch):
+    """Streams past PREF_CMAX chunks chain per-segment word-path calls
+    (cut at out-block boundaries, later calls alias the output) and
+    must match the single-call result exactly."""
+    import cfs_spmv_tpu.ops.bell2_kernel as bk
+    from cfs_spmv_tpu.formats.bell2 import build_bell2_plan
+    from cfs_spmv_tpu.formats.coo import COO
+    from cfs_spmv_tpu.formats.csr import CSR
+    from cfs_spmv_tpu.ops import spmv as ops
+
+    rng = np.random.default_rng(31)
+    n = 4096
+    row = np.repeat(np.arange(n, dtype=np.int64), 10)
+    col = np.clip(
+        row + rng.integers(-400, 401, len(row)), 0, n - 1
+    )
+    csr = CSR.from_coo(
+        COO(n, n, row, col, rng.uniform(-1, 1, len(row))).canonicalize()
+    )
+    plan = build_bell2_plan(csr, dtype=np.float32, chunks_per_step=8,
+                            tiles_per_block=8)
+    assert plan.windows_contig or plan.window_depth > 8
+    x = rng.uniform(1, 2, n).astype(np.float32)
+
+    dev1 = ops.to_device(plan)
+    assert dev1.word_segs == ()
+    y1 = np.asarray(ops.bell2_apply(dev1, x))
+
+    monkeypatch.setattr(bk, "PREF_CMAX", 32)  # force 4 segments
+    dev2 = ops.to_device(plan)
+    assert len(dev2.word_segs) > 2, dev2.word_segs
+    y2 = np.asarray(ops.bell2_apply(dev2, x))
+    np.testing.assert_array_equal(y1, y2)
+
+    # multi-RHS path through the same segmentation
+    X = rng.uniform(1, 2, (n, 2)).astype(np.float32)
+    Y1 = np.asarray(ops.bell2_apply_mm(dev1, X))
+    Y2 = np.asarray(ops.bell2_apply_mm(dev2, X))
+    np.testing.assert_array_equal(Y1, Y2)
+
+    # word_segments contract: block-pure cuts
+    segs = dev2.word_segs
+    sb = np.asarray(plan.step_block)
+    for b in segs[1:-1]:
+        assert sb[b] != sb[b - 1], "cut must sit at a block boundary"
