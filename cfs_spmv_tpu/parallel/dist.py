@@ -84,18 +84,50 @@ def shard_csr_rows(csr: CSR, ndev: int, align_tiles: int = 1):
 
 
 def _pad_bell2(plans: list[Bell2Plan], dtype):
-    """Stack per-device BELL2 plans into uniform (D, ...) arrays."""
+    """Stack per-device BELL2 plans into uniform (D, ...) arrays.
+
+    When EVERY plan can take the scalar-prefetch word path (or is
+    empty — its zero streams contribute nothing under either kernel
+    form), the stacked meta is the packed (D, C) meta_word array
+    instead of the streamed (D, C, META_W) table: the kernels dispatch
+    on ``meta.ndim``, so the SPMD program then runs the lazy-store /
+    stall-free word kernels (round 4: the streamed path pays the
+    ~677 ns/step SMEM pipeline stall plus the serializing per-chunk
+    RMW — a large share of the dist-vs-tuned single-chip gap on
+    scattered structure). Padding words copy each plan's last real
+    word so the lazy reset never targets a live row."""
+    from ..ops.bell2_kernel import meta_word, word_eligible
+
     K = plans[0].chunks_per_step
     C_max = max(p.num_chunks for p in plans)
     C_max = max(-(-C_max // K) * K, K)
     vals, qidx, meta, steps = [], [], [], []
     G_max = C_max // K
+    # depth is a static kernel arg shared SPMD-wide; dist plans are
+    # built with allow_relax=False, so only depth-8 contig qualifies
+    word_ok = all(
+        p.nnz == 0
+        or (
+            p.window_depth == 8
+            and word_eligible(
+                np.asarray(p.meta), contig=p.windows_contig,
+                depth=p.window_depth,
+                tiles_per_block=p.tiles_per_block,
+            )
+        )
+        for p in plans
+    )
     for p in plans:
         pad = C_max - p.num_chunks
         # streams are 2-D (C*8, 128): pad whole 8-row chunk slabs
         vals.append(np.pad(p.vals, ((0, pad * 8), (0, 0))))
         qidx.append(np.pad(p.packed, ((0, pad * 8), (0, 0))))
-        meta.append(np.pad(p.meta, ((0, pad), (0, 0))))
+        if word_ok:
+            w = np.asarray(meta_word(np.asarray(p.meta)), np.int32)
+            fill = int(w[-1]) if len(w) else 0
+            meta.append(np.pad(w, (0, pad), constant_values=fill))
+        else:
+            meta.append(np.pad(p.meta, ((0, pad), (0, 0))))
         sb = p.step_block
         last = sb[-1] if len(sb) else 0
         steps.append(np.pad(sb, (0, G_max - len(sb)), constant_values=last))
@@ -388,7 +420,9 @@ class DistSpDMV:
                     )
                 )
             self._far = _pad_bell2(plans, self.dtype)
-            self._x_rows_full = plans[0].x_rows
+            # max over plans: empty shard plans keep an unclamped (< 8
+            # rows) x_rows, but the word kernels load 8-row slabs
+            self._x_rows_full = max(max(p.x_rows for p in plans), 8)
         self._far_tiles = T_max
         self._paired = None
         self._diag = None
@@ -661,7 +695,9 @@ class DistSpDMV:
             self._x_rows_full = self.shard_rows // LANES
         else:
             self._far = _pad_bell2(far_plans, self.dtype)
-            self._x_rows_full = far_plans[0].x_rows
+            self._x_rows_full = max(
+                max(p.x_rows for p in far_plans), 8
+            )
         self._far_tiles = T_max
         self._diag = np.stack(diags)
 
@@ -738,9 +774,14 @@ class DistSpDMV:
             )
             return out.reshape(-1)[:S]
 
+        # word-path kernels load 8-row x slabs: tiny shards pad up
+        xr_loc = max(x_rows_loc, 8)
+
         def shard_fn(far, paired, pfar_arrs, dia_v, diag, x_sh):
             x_loc = x_sh[0]
-            x2d_loc = x_loc.reshape(x_rows_loc, LANES)
+            x2d_loc = jnp.pad(
+                x_loc, (0, xr_loc * LANES - x_loc.shape[0])
+            ).reshape(xr_loc, LANES)
             y = jnp.zeros((S,), x_loc.dtype)
             if sym:
                 pv, pp, pm, ps = (a[0] for a in paired)
@@ -774,11 +815,16 @@ class DistSpDMV:
                 TP = -(-T_loc // BT) * BT
                 tp = jnp.pad(tiles, ((0, TP - tiles.shape[0]), (0, 0)))
                 xs = x_loc
+                # the word-path kernels load 8-row x slabs: feed the
+                # plan's x_rows (>= 8), not the raw segment tiles
+                xr_ring = max(x_rows_loc, 8)
                 for k in range(ndev):
                     vals, qidx, meta, steps = (a[0] for a in far[k])
+                    x2d_k = jnp.pad(
+                        xs, (0, xr_ring * LANES - xs.shape[0])
+                    ).reshape(xr_ring, LANES)
                     tp = bell2_spmv_tiles_accum(
-                        vals, qidx, meta, steps,
-                        xs.reshape(x_rows_loc, LANES), tp,
+                        vals, qidx, meta, steps, x2d_k, tp,
                         num_row_tiles=T_loc, chunks_per_step=K_ring,
                         tiles_per_block=BT, interpret=interpret,
                     )
@@ -899,8 +945,12 @@ class DistSpDMV:
             )
             return out.reshape(B, -1)[:, :S]
 
-        def to3d(x_bs):  # (S, B) local segment -> (B, x_rows_loc, 128)
-            return x_bs.T.reshape(B, x_rows_loc, LANES)
+        xr_loc = max(x_rows_loc, 8)  # word kernels load 8-row x slabs
+
+        def to3d(x_bs):  # (S, B) local segment -> (B, xr_loc, 128)
+            return jnp.pad(
+                x_bs, ((0, xr_loc * LANES - x_bs.shape[0]), (0, 0))
+            ).T.reshape(B, xr_loc, LANES)
 
         def shard_fn(far, paired, pfar_arrs, dia_v, diag, x_sh):
             x_loc = x_sh[0]  # (S, B)
@@ -936,10 +986,14 @@ class DistSpDMV:
                     tiles, ((0, 0), (0, TP - tiles.shape[1]), (0, 0))
                 )
                 xs = x_loc
+                xr_ring = max(x_rows_loc, 8)
                 for k in range(ndev):
                     vals, qidx, meta, steps = (a[0] for a in far[k])
+                    x3d_k = jnp.pad(
+                        xs, ((0, xr_ring * LANES - xs.shape[0]), (0, 0))
+                    ).T.reshape(B, xr_ring, LANES)
                     tp = bell2_spmm_tiles_accum(
-                        vals, qidx, meta, steps, to3d(xs), tp,
+                        vals, qidx, meta, steps, x3d_k, tp,
                         num_row_tiles=T_loc, chunks_per_step=K_ring,
                         tiles_per_block=BT, interpret=interpret,
                     )
