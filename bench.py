@@ -20,14 +20,13 @@ cli/bench_dist.py --gen):
 - general-asymmetric banded-scattered proxy (one-sided BELL2 path).
 
 The headline JSON reports the MINIMUM vs-roofline ratio across the
-BASELINE HEADLINE workloads (the four fp32 shapes above — worst case,
-not best case). The adversarial random-band shape is tracked on stderr
-but excluded from the headline: it sits AT the 80% bar (78.7 Gnnz/s =
-80% of SOL, round 4; its pack floor is 1.143x from exact per-tile chunk
-quantization — ceil(28-entry rows / 8-slot lanes) — plus ~10% window
-binding at deep-16), so shared-host noise would flip the metric's sign
-without any code change. Remaining detail on stderr: bf16 storage,
-SpMM(8), and the fp64 XLA-COO path cost.
+BASELINE HEADLINE workloads (the FIVE fp32 shapes above — worst case,
+not best case). The adversarial random-band shape joined the headline in
+round 5: the anchor-sweep packer (csrc cfs_pack_slots_sweep) removed the
+~10% window-binding excess that held it at 78% of SOL through round 4
+(1722 -> 1636 chunks against the 1558 lane floor; measured 101 Gnnz/s =
+102% of the CSR-traffic roofline on v5e). Remaining detail on stderr:
+bf16 storage, SpMM(8), and the fp64 XLA-COO path cost.
 
 Timing protocol: the axon tunnel has ~31 ms fixed round-trip latency, so
 iterations run inside one jitted fori_loop with a data dependency that
@@ -295,13 +294,16 @@ def main():
             iters=1000, reorder=False,
         )
     )
-    # capability extras (not in the headline — see the module docstring
-    # for why the adversarial band is tracked-but-excluded): bf16
-    # storage, fp64 cost
-    bench_one(
-        "random_band_adversarial", make_random_band(), iters=1000,
-        reorder=False,
+    # adversarial: random columns in a wide band — window-binding worst
+    # case for the contig packer (in the headline since round 5: the
+    # anchor-sweep pack took it from 78% to ~102% of SOL)
+    results.append(
+        bench_one(
+            "random_band_adversarial", make_random_band(), iters=1000,
+            reorder=False,
+        )
     )
+    # capability extras (not in the headline): bf16 storage, fp64 cost
     bench_one("cant_proxy_sym_bf16", make_cant_proxy(), values="bfloat16")
     bench_one(
         "audikw_scattered_bf16", make_audikw_proxy(), iters=1000,

@@ -414,6 +414,28 @@ def _sort_entries(row, col):
     return order, rs >> 7, rs & 127, cs >> 7, cs & 127
 
 
+#: stream size up to which BOTH contig packers run and the smaller plan
+#: wins (a pack at this size costs ~1 s on this host); above it the span
+#: predictor picks one so full-scale preprocessing stays single-pass
+_SWEEP_DUAL_MAX = 20_000_000
+
+
+def _entry_weighted_span_frac(ts, sgs, T, depth):
+    """Fraction of entries living in tiles whose segment span exceeds
+    ``depth`` (sgs ascend within each tile, so the span reads off the
+    tile's boundary entries)."""
+    bounds = np.searchsorted(ts, np.arange(T + 1))
+    s, e = bounds[:-1], bounds[1:]
+    nz = e > s
+    if not nz.any():
+        return 0.0
+    last = np.minimum(np.maximum(e - 1, s), len(sgs) - 1)
+    first = np.minimum(s, len(sgs) - 1)
+    span = sgs[last] - sgs[first] + 1  # garbage on empty tiles (masked)
+    wide = nz & (span > depth)
+    return float((e - s)[wide].sum() / max((e - s)[nz].sum(), 1))
+
+
 def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
                         max_windows=SUBLANES, contig=False, rot=1):
     """Entry-level conflict-aware packing (native cfs_pack_slots with a
@@ -428,13 +450,49 @@ def _pack_slots_entries(ts, lrs, sgs, qs, T, *, ensure_tiles=True,
     native ``pack_slots`` keeps its ``group`` ABI parameter frozen
     at 1)."""
     t0 = time.perf_counter()
-    packed = _native.pack_slots(
-        ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot
-    )
-    if packed is None:
-        packed = _native.pack_slots_py(
-            ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot,
+    packed = None
+    if contig and rot == 1:
+        # anchor-sweep packing (round 5): per-tile minimum-unassigned-seg
+        # anchors + maximal per-lane prefixes — optimal for the per-lane
+        # capacity relaxation. Wins when the window range binds (tile seg
+        # span > depth: the first-fit ring's staggered anchors strand
+        # capacity — random band 1722 -> 1636 chunks against a 1558 lane
+        # floor); loses a few % when windows are slack (its denser chunks
+        # take more gather-lane conflicts). Small streams pack BOTH and
+        # keep the smaller plan; big streams pick by the entry-weighted
+        # span predictor to keep full-scale preproc single-pass.
+        want_sweep = want_ff = True
+        if len(ts) > _SWEEP_DUAL_MAX:
+            spans = _entry_weighted_span_frac(ts, sgs, T, max_windows)
+            want_sweep = spans > 0.3
+            want_ff = not want_sweep
+        pk_sw = None
+        if want_sweep:
+            pk_sw = _native.pack_slots_sweep(ts, lrs, sgs, qs, max_windows)
+            if pk_sw is None:
+                pk_sw = _native.pack_slots_sweep_py(
+                    ts, lrs, sgs, qs, max_windows
+                )
+        if want_ff:
+            packed = _native.pack_slots(
+                ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot
+            )
+            if packed is None:
+                packed = _native.pack_slots_py(
+                    ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot,
+                )
+        if pk_sw is not None and (
+            packed is None or len(pk_sw[4]) < len(packed[4])
+        ):
+            packed = pk_sw
+    else:
+        packed = _native.pack_slots(
+            ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot
         )
+        if packed is None:
+            packed = _native.pack_slots_py(
+                ts, lrs, sgs, qs, max_windows, contig=contig, rot=rot,
+            )
     e_chunk, e_sub, e_r2, e_rc, chunk_tiles, windows, nwin = packed
     info(
         "bell2: pack n=%d -> %d chunks (mw=%d rot=%d) %.1fs",

@@ -124,6 +124,18 @@ def _load():
             ctypes.c_int64,
             i32p, i32p, i32p, i32p, i64p, i32p, i32p,
         ]
+        lib.cfs_pack_slots_sweep.restype = ctypes.c_int64
+        lib.cfs_pack_slots_sweep.argtypes = [
+            i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i32p, i32p,
+        ]
+        lib.cfs_pack_slots_sweep_i32.restype = ctypes.c_int64
+        lib.cfs_pack_slots_sweep_i32.argtypes = [
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, i64p, i32p, i32p,
+        ]
         lib.cfs_assemble_plan.restype = None
         lib.cfs_assemble_plan.argtypes = [
             i32p, i32p, i32p, i32p, i32p, i32p,
@@ -291,6 +303,202 @@ def pack_slots(tile, lane_r, seg, lane_c, max_windows, ring=32, group=1,
     return (
         e_chunk[:n], e_sub[:n], e_r2[:n], e_rc[:n],
         chunk_tile[:C0].copy(), windows[:C0].copy(), nwin[:C0].copy(),
+    )
+
+
+def pack_slots_sweep(tile, lane_r, seg, lane_c, max_windows):
+    """Anchor-sweep contiguous-window packing (csrc cfs_pack_slots_sweep).
+
+    Entries must be sorted by (tile, seg, lane_c). Each tile is packed by
+    anchoring successive chunks at the minimum unassigned segment and
+    giving every row lane its maximal window-feasible prefix — optimal
+    for the per-lane capacity relaxation (the first-fit ring packer's
+    staggered anchors measured +10.5% chunks over the lane floor on the
+    random-band shape; the sweep lands within 1 chunk of it). Returns the
+    pack_slots output tuple (e_rc all zero), or None when native is
+    unavailable (caller uses pack_slots_sweep_py).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(tile)
+    use32 = all(
+        np.asarray(a).dtype == np.int32
+        for a in (tile, lane_r, seg, lane_c)
+    )
+    if use32:
+        fn = lib.cfs_pack_slots_sweep_i32
+        args = (
+            np.ascontiguousarray(tile, np.int32),
+            np.ascontiguousarray(lane_r, np.int32),
+            np.ascontiguousarray(seg, np.int32),
+            np.ascontiguousarray(lane_c, np.int32),
+        )
+        edt = np.int32
+    else:
+        fn = lib.cfs_pack_slots_sweep
+        args = (
+            np.ascontiguousarray(tile, np.int64),
+            np.ascontiguousarray(lane_r, np.int64),
+            np.ascontiguousarray(seg, np.int64),
+            np.ascontiguousarray(lane_c, np.int64),
+        )
+        edt = np.int64
+    e_chunk = np.zeros(max(n, 1), edt)
+    e_sub = np.zeros(max(n, 1), edt)
+    e_r2 = np.zeros(max(n, 1), edt)
+    e_rc = np.zeros(max(n, 1), edt)
+    cap = min(max(n // 32, 4096), max(n, 1))
+    while True:
+        chunk_tile = np.zeros(cap, np.int64)
+        windows = np.zeros((cap, 8), np.int32)
+        nwin = np.zeros(cap, np.int32)
+        C0 = fn(
+            *args, n, max_windows, cap,
+            e_chunk, e_sub, e_r2, e_rc, chunk_tile, windows, nwin,
+        )
+        if C0 != -2:
+            break
+        cap = max(n, 1)
+    if C0 < 0:
+        return None
+    return (
+        e_chunk[:n], e_sub[:n], e_r2[:n], e_rc[:n],
+        chunk_tile[:C0].copy(), windows[:C0].copy(), nwin[:C0].copy(),
+    )
+
+
+class _SweepChunk:
+    __slots__ = ("id", "anchor", "nw", "used", "cseg")
+
+    def __init__(self, cid, anchor):
+        self.id = cid
+        self.anchor = anchor
+        self.nw = 1
+        self.used = [set() for _ in range(8)]   # subrow -> row lanes
+        self.cseg = [dict() for _ in range(8)]  # subrow -> {q: seg}
+
+    def try_place(self, lr, lc, sg):
+        # reuse-first: a subrow whose gather lane already maps to this
+        # segment shares the slot (no new q capacity); then any subrow
+        # with the gather lane free (matches SweepChunk::try_place)
+        for s in range(8):
+            if self.cseg[s].get(lc) != sg or lr in self.used[s]:
+                continue
+            self.used[s].add(lr)
+            w = sg - self.anchor
+            self.nw = max(self.nw, w + 1)
+            return s, w
+        for s in range(8):
+            if lc in self.cseg[s] or lr in self.used[s]:
+                continue
+            self.used[s].add(lr)
+            self.cseg[s][lc] = sg
+            w = sg - self.anchor
+            self.nw = max(self.nw, w + 1)
+            return s, w
+        return None
+
+
+def pack_slots_sweep_py(tile, lane_r, seg, lane_c, max_windows):
+    """Pure-Python mirror of cfs_pack_slots_sweep (bit-identical).
+
+    Phase 1 per tile: relaxed anchor sweep (per-lane quota 8 per chunk,
+    window feasibility only). Phase 2: open every planned chunk, first-fit
+    each entry across the chunks whose window contains its segment
+    (q-conflicts retry the next chunk); fallback chunks anchored at the
+    failing entry's segment append after the planned list.
+    """
+    D = max_windows
+    n = len(tile)
+    tile = np.asarray(tile)
+    lane_r = np.asarray(lane_r)
+    seg = np.asarray(seg)
+    lane_c = np.asarray(lane_c)
+    e_chunk = np.zeros(n, np.int64)
+    e_sub = np.zeros(n, np.int64)
+    e_r2 = np.zeros(n, np.int64)
+    e_rc = np.zeros(n, np.int64)
+    chunk_tiles: list[int] = []
+    win_list: list[tuple[int, int]] = []  # (anchor, min(nw, 8)) per chunk
+    rdone = np.zeros(n, bool)
+    i = 0
+    while i < n:
+        t = int(tile[i])
+        j = i
+        while j < n and int(tile[j]) == t:
+            j += 1
+        # phase 1: relaxed anchor plan
+        anchors = []
+        first = i
+        while first < j:
+            a = int(seg[first])
+            anchors.append(a)
+            lane_taken = [0] * 128
+            for k in range(first, j):
+                if int(seg[k]) - a >= D:
+                    break
+                if rdone[k]:
+                    continue
+                lr = int(lane_r[k])
+                if lane_taken[lr] >= 8:
+                    continue
+                rdone[k] = True
+                lane_taken[lr] += 1
+            while first < j and rdone[first]:
+                first += 1
+        # phase 2: all planned chunks open at once
+        base = len(chunk_tiles)
+        chunks = [_SweepChunk(base + c, a) for c, a in enumerate(anchors)]
+        F = len(chunks)
+        lo, hi, flo = 0, -1, F
+        for k in range(i, j):
+            sg = int(seg[k])
+            lr = int(lane_r[k])
+            lc = int(lane_c[k])
+            while lo < F and chunks[lo].anchor + D <= sg:
+                lo += 1
+            while hi + 1 < F and chunks[hi + 1].anchor <= sg:
+                hi += 1
+            while flo < len(chunks) and chunks[flo].anchor + D <= sg:
+                flo += 1
+            placed = None
+            for c in range(lo, hi + 1):
+                placed = chunks[c].try_place(lr, lc, sg)
+                if placed is not None:
+                    e_chunk[k], e_sub[k], e_r2[k] = (
+                        chunks[c].id, placed[0], placed[1]
+                    )
+                    break
+            if placed is None:
+                for c in range(flo, len(chunks)):
+                    if chunks[c].anchor > sg:
+                        break
+                    placed = chunks[c].try_place(lr, lc, sg)
+                    if placed is not None:
+                        e_chunk[k], e_sub[k], e_r2[k] = (
+                            chunks[c].id, placed[0], placed[1]
+                        )
+                        break
+            if placed is None:
+                ch = _SweepChunk(base + len(chunks), sg)
+                ch.used[0].add(lr)
+                ch.cseg[0][lc] = sg
+                chunks.append(ch)
+                e_chunk[k], e_sub[k], e_r2[k] = ch.id, 0, 0
+        for ch in chunks:
+            chunk_tiles.append(t)
+            win_list.append((ch.anchor, min(ch.nw, 8)))
+        i = j
+    C0 = len(chunk_tiles)
+    windows = np.zeros((max(C0, 1), 8), np.int32)
+    nwin = np.zeros(max(C0, 1), np.int32)
+    for ci, (w0, nv) in enumerate(win_list):
+        windows[ci, :nv] = w0 + np.arange(nv, dtype=np.int32)
+        nwin[ci] = nv
+    return (
+        e_chunk, e_sub, e_r2, e_rc,
+        np.asarray(chunk_tiles, np.int64), windows[:C0], nwin[:C0],
     )
 
 

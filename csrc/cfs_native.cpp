@@ -305,7 +305,250 @@ static int64_t pack_slots_impl(const I *tile, const I *lane_r,
   return n_chunks;
 }
 
+// ---------------------------------------------------------------------------
+// Anchor-sweep slot packing for CONTIGUOUS-window one-sided streams.
+//
+// The first-fit packer above opens a chunk at the first entry that fits no
+// open chunk, anchoring its window at that entry's segment. On wide-band
+// scattered structure (window span > max_windows segments) the staggered
+// anchors this produces strand capacity: chunks anchored low cannot reach
+// the tile's tail segments, so the tail forces extra chunks while low
+// chunks sit with free slots (measured round 4: +10.5% chunks over the
+// lane-conflict floor on the random-band shape).
+//
+// The sweep packs each tile to the floor of the relaxed problem: anchor
+// every successive chunk at the MINIMUM unassigned segment (forced — a
+// lower entry could never join a later, higher-anchored chunk), then give
+// every row lane its MAXIMAL prefix of remaining entries that fits the
+// window and the 8-subrow capacity. An exchange argument makes this
+// optimal for the per-lane capacity relaxation; gather-lane (q) conflicts
+// are handled by stopping the lane for the current chunk (its entry
+// re-anchors or joins the next chunk), which keeps each lane's assignment
+// a prefix and costs chunks only on the rare unresolvable conflict.
+// Measured on the random-band proxy: 1722 -> 1559 chunks at deep-16
+// against a 1558 lane floor.
+//
+// Entries must arrive sorted by (tile, seg, lane_c) — the same contract
+// as pack_slots with contig=1; outputs are identical in shape/meaning
+// (e_rc is always 0: lane rotation was pruned round 4).
+//
+// Two phases per tile. Phase 1 runs the RELAXED sweep (per-lane quota 8
+// per chunk, window feasibility, gather conflicts ignored) to plan the
+// anchor list — provably minimal for the relaxation. Phase 2 opens ALL
+// planned chunks at once and first-fits every entry across the chunks
+// whose window contains its segment (ascending anchor order), so a
+// gather-lane conflict in one chunk retries the others — the property
+// that made the old ring packer's q-conflict handling work. Entries that
+// fit no planned chunk open fallback chunks anchored at their own
+// segment (rare; both lists stay anchor-sorted because segments ascend).
+struct SweepChunk {
+  int64_t id;
+  int64_t anchor;
+  int64_t nw;
+  uint64_t used_sub[8][2];  // per-subrow row-lane occupancy
+  int32_t cseg[8][128];     // per-subrow gather-lane -> seg (-1 free)
+
+  // Reuse-first placement: prefer a subrow whose gather lane already
+  // maps to this segment (same-column entries share the slot — no new
+  // q capacity consumed), then any subrow with the gather lane free.
+  // Measured on the random band: plain first-fit leaves 182 fallback
+  // chunks, reuse-first 77 (1741 -> 1636 total).
+  inline int64_t try_place(int64_t lr, int64_t lc, int32_t sg) {
+    for (int64_t s = 0; s < 8; ++s) {
+      if (cseg[s][lc] != sg) continue;
+      if (used_sub[s][lr >> 6] & (1ull << (lr & 63))) continue;
+      used_sub[s][lr >> 6] |= 1ull << (lr & 63);
+      return s;
+    }
+    for (int64_t s = 0; s < 8; ++s) {
+      if (cseg[s][lc] >= 0) continue;
+      if (used_sub[s][lr >> 6] & (1ull << (lr & 63))) continue;
+      used_sub[s][lr >> 6] |= 1ull << (lr & 63);
+      cseg[s][lc] = sg;
+      return s;
+    }
+    return -1;
+  }
+};
+
+template <typename I>
+static int64_t pack_slots_sweep_impl(const I *tile, const I *lane_r,
+                                     const I *seg, const I *lane_c,
+                                     int64_t n, int64_t max_windows,
+                                     int64_t cap, I *e_chunk, I *e_sub,
+                                     I *e_r2, I *e_rc, int64_t *chunk_tile,
+                                     int32_t *windows, int32_t *nwin) {
+  if (max_windows < 1 || max_windows > 32) return -1;
+  const int64_t D = max_windows;
+  uint8_t *rdone = (uint8_t *)calloc((size_t)(n ? n : 1), 1);
+  if (!rdone) return -1;
+  int64_t anchors_cap = 64, nfall_cap = 16;
+  int64_t *anchors = (int64_t *)malloc(anchors_cap * sizeof(int64_t));
+  SweepChunk *chunks = nullptr;
+  int64_t chunks_cap = 0;
+  int64_t n_chunks = 0;
+  int8_t lane_taken[128];
+
+  int64_t i = 0;
+  while (i < n) {
+    const int64_t t = (int64_t)tile[i];
+    int64_t j = i;
+    while (j < n && (int64_t)tile[j] == t) ++j;
+
+    // phase 1: relaxed anchor plan (reuses rdone as scratch flags)
+    int64_t F = 0;
+    int64_t first = i;
+    while (first < j) {
+      const int64_t a = (int64_t)seg[first];
+      if (F >= anchors_cap) {
+        anchors_cap *= 2;
+        anchors = (int64_t *)realloc(anchors, anchors_cap * sizeof(int64_t));
+      }
+      anchors[F++] = a;
+      memset(lane_taken, 0, sizeof(lane_taken));
+      for (int64_t k = first; k < j; ++k) {
+        if ((int64_t)seg[k] - a >= D) break;  // segs ascend in the tile
+        if (rdone[k]) continue;
+        const int64_t lr = (int64_t)lane_r[k];
+        if (lane_taken[lr] >= 8) continue;
+        rdone[k] = 1;
+        ++lane_taken[lr];
+      }
+      while (first < j && rdone[first]) ++first;
+    }
+
+    // phase 2: open every planned chunk, first-fit with q-conflict
+    // retries across the eligible anchor range; fallback chunks append
+    // past the planned F (their anchors also ascend)
+    if (F + nfall_cap > chunks_cap) {
+      delete[] chunks;
+      chunks_cap = F + nfall_cap;
+      chunks = new SweepChunk[chunks_cap];
+    }
+    if (n_chunks + F > cap) {
+      free(rdone);
+      free(anchors);
+      delete[] chunks;
+      return -2;  // capacity exceeded — caller retries larger
+    }
+    for (int64_t c = 0; c < F; ++c) {
+      SweepChunk &ch = chunks[c];
+      ch.id = n_chunks + c;
+      ch.anchor = anchors[c];
+      ch.nw = 1;
+      memset(ch.used_sub, 0, sizeof(ch.used_sub));
+      memset(ch.cseg, -1, sizeof(ch.cseg));
+      chunk_tile[ch.id] = t;
+    }
+    int64_t n_open = F;      // planned + fallback chunks for this tile
+    int64_t lo = 0, hi = -1; // eligible [lo, hi] among planned chunks
+    int64_t flo = F;         // first eligible fallback chunk
+    for (int64_t k = i; k < j; ++k) {
+      const int64_t sg = (int64_t)seg[k];
+      const int64_t lr = (int64_t)lane_r[k];
+      const int64_t lc = (int64_t)lane_c[k];
+      while (lo < F && chunks[lo].anchor + D <= sg) ++lo;
+      while (hi + 1 < F && chunks[hi + 1].anchor <= sg) ++hi;
+      while (flo < n_open && chunks[flo].anchor + D <= sg) ++flo;
+      bool placed = false;
+      for (int64_t c = lo; c <= hi && !placed; ++c) {
+        SweepChunk &ch = chunks[c];
+        const int64_t s = ch.try_place(lr, lc, (int32_t)sg);
+        if (s >= 0) {
+          const int64_t w = sg - ch.anchor;
+          if (w + 1 > ch.nw) ch.nw = w + 1;
+          e_chunk[k] = (I)ch.id;
+          e_sub[k] = (I)s;
+          e_r2[k] = (I)w;
+          e_rc[k] = 0;
+          placed = true;
+        }
+      }
+      for (int64_t c = flo; c < n_open && !placed; ++c) {
+        SweepChunk &ch = chunks[c];
+        if (ch.anchor > sg) break;  // fallback anchors ascend too
+        const int64_t s = ch.try_place(lr, lc, (int32_t)sg);
+        if (s >= 0) {
+          const int64_t w = sg - ch.anchor;
+          if (w + 1 > ch.nw) ch.nw = w + 1;
+          e_chunk[k] = (I)ch.id;
+          e_sub[k] = (I)s;
+          e_r2[k] = (I)w;
+          e_rc[k] = 0;
+          placed = true;
+        }
+      }
+      if (!placed) {
+        if (n_open >= chunks_cap) {
+          chunks_cap = 2 * chunks_cap + 16;
+          SweepChunk *grown = new SweepChunk[chunks_cap];
+          memcpy(grown, chunks, n_open * sizeof(SweepChunk));
+          delete[] chunks;
+          chunks = grown;
+        }
+        if (n_chunks + n_open >= cap) {
+          free(rdone);
+          free(anchors);
+          delete[] chunks;
+          return -2;
+        }
+        SweepChunk &ch = chunks[n_open];
+        ch.id = n_chunks + n_open;
+        ch.anchor = sg;
+        ch.nw = 1;
+        memset(ch.used_sub, 0, sizeof(ch.used_sub));
+        memset(ch.cseg, -1, sizeof(ch.cseg));
+        ch.used_sub[0][lr >> 6] |= 1ull << (lr & 63);
+        ch.cseg[0][lc] = (int32_t)sg;
+        chunk_tile[ch.id] = t;
+        e_chunk[k] = (I)ch.id;
+        e_sub[k] = 0;
+        e_r2[k] = 0;
+        e_rc[k] = 0;
+        ++n_open;
+      }
+    }
+    for (int64_t c = 0; c < n_open; ++c) {
+      const SweepChunk &ch = chunks[c];
+      const int64_t nvis = ch.nw < 8 ? ch.nw : 8;
+      for (int64_t x = 0; x < nvis; ++x)
+        windows[ch.id * 8 + x] = (int32_t)(ch.anchor + x);
+      nwin[ch.id] = (int32_t)nvis;
+    }
+    n_chunks += n_open;
+    i = j;
+  }
+  free(rdone);
+  free(anchors);
+  delete[] chunks;
+  return n_chunks;
+}
+
 extern "C" {
+
+int64_t cfs_pack_slots_sweep(const int64_t *tile, const int64_t *lane_r,
+                             const int64_t *seg, const int64_t *lane_c,
+                             int64_t n, int64_t max_windows, int64_t cap,
+                             int64_t *e_chunk, int64_t *e_sub,
+                             int64_t *e_r2, int64_t *e_rc,
+                             int64_t *chunk_tile, int32_t *windows,
+                             int32_t *nwin) {
+  return pack_slots_sweep_impl(tile, lane_r, seg, lane_c, n, max_windows,
+                               cap, e_chunk, e_sub, e_r2, e_rc, chunk_tile,
+                               windows, nwin);
+}
+
+int64_t cfs_pack_slots_sweep_i32(const int32_t *tile, const int32_t *lane_r,
+                                 const int32_t *seg, const int32_t *lane_c,
+                                 int64_t n, int64_t max_windows, int64_t cap,
+                                 int32_t *e_chunk, int32_t *e_sub,
+                                 int32_t *e_r2, int32_t *e_rc,
+                                 int64_t *chunk_tile, int32_t *windows,
+                                 int32_t *nwin) {
+  return pack_slots_sweep_impl(tile, lane_r, seg, lane_c, n, max_windows,
+                               cap, e_chunk, e_sub, e_r2, e_rc, chunk_tile,
+                               windows, nwin);
+}
 
 int64_t cfs_pack_slots(const int64_t *tile, const int64_t *lane_r,
                        const int64_t *seg, const int64_t *lane_c,

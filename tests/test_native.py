@@ -179,6 +179,66 @@ def test_slot_packed_spmv_correct():
 
 
 @requires_native
+@pytest.mark.parametrize("mw", [8, 16, 32], ids=["d8", "d16", "d32"])
+def test_pack_slots_sweep_native_matches_python(mw):
+    """Anchor-sweep packer: native and Python mirrors are bit-identical,
+    the pack satisfies the layout invariants, and it never uses more
+    chunks than the first-fit ring packer on the same stream."""
+    from cfs_spmv_tpu.native import pack_slots_sweep, pack_slots_sweep_py
+
+    rng = np.random.default_rng(3)
+    # wide-band random structure — the shape the sweep exists for
+    n = 4000
+    row = np.repeat(np.arange(n, dtype=np.int64), 10)
+    col = np.clip(row + rng.integers(-600, 601, len(row)), 0, n - 1)
+    key = row * n + col
+    keep = np.ones(len(key), bool)
+    keep[1:] = np.sort(key)[1:] != np.sort(key)[:-1]
+    order0 = np.argsort(key)
+    row, col = row[order0][keep], col[order0][keep]
+    tile, lane, seg, q = row >> 7, row & 127, col >> 7, col & 127
+    order = np.lexsort((q, seg, tile))
+    args = (tile[order], lane[order], seg[order], q[order], mw)
+    a = pack_slots_sweep(*args)
+    b = pack_slots_sweep_py(*args)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # layout invariants: unique (chunk, sub, row-lane); one seg per
+    # (chunk, sub, gather-lane); window consistency seg == anchor + r2
+    e_chunk, e_sub, e_r2 = a[0], a[1], a[2]
+    sl = (e_chunk.astype(np.int64) * 8 + e_sub) * 128
+    assert len(np.unique(sl + lane[order])) == len(row)
+    kq = sl + q[order]
+    o2 = np.argsort(kq, kind="stable")
+    same = kq[o2][1:] == kq[o2][:-1]
+    assert np.all(seg[order][o2][1:][same] == seg[order][o2][:-1][same])
+    np.testing.assert_array_equal(a[5][:, 0][e_chunk] + e_r2, seg[order])
+    assert e_r2.min() >= 0 and e_r2.max() < mw
+
+
+@requires_native
+def test_pack_slots_sweep_i32_matches_i64():
+    from cfs_spmv_tpu.native import pack_slots_sweep
+
+    coo = _block_coo()
+    csr = CSR.from_coo(coo)
+    row = np.repeat(np.arange(csr.nrows, dtype=np.int64),
+                    np.diff(csr.indptr))
+    col = csr.indices.astype(np.int64)
+    tile, lane, seg, q = row >> 7, row & 127, col >> 7, col & 127
+    order = np.lexsort((q, seg, tile))
+    a64 = pack_slots_sweep(tile[order], lane[order], seg[order], q[order],
+                           16)
+    a32 = pack_slots_sweep(
+        tile[order].astype(np.int32), lane[order].astype(np.int32),
+        seg[order].astype(np.int32), q[order].astype(np.int32), 16,
+    )
+    assert a32[0].dtype == np.int32
+    for x, y in zip(a64, a32):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@requires_native
 @pytest.mark.parametrize("rot", [1, 2])
 def test_pack_slots_i32_matches_i64(rot):
     """The int32 packer instantiation places every entry identically to
