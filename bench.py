@@ -230,10 +230,11 @@ def bench_full_scale(iters=200):
 
 
 def bench_fp64(n=8192, half_bw=12, seed=0, iters=300):
-    """fp64-on-TPU on the record: the double-float Pallas path (default,
-    ~2^-48 relative — ops/bell2_df) AND the emulated XLA COO path it
-    replaced. The reference runs all kernels in double under
-    --enable-dp (configure.ac:48-67)."""
+    """fp64-on-TPU on the record: the double-float Pallas paths (default,
+    ~2^-48 relative — ops/bell2_df + the round-5 df SDIA stream,
+    ops/sdia_df) AND the emulated XLA COO path they replaced. The
+    reference runs all kernels in double under --enable-dp
+    (configure.ac:48-67)."""
     import jax
 
     from cfs_spmv_tpu import Format, SpDMV, SparseMatrix
@@ -243,6 +244,30 @@ def bench_fp64(n=8192, half_bw=12, seed=0, iters=300):
 
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+
+    # banded fp64 at cant-proxy scale: the df SDIA stream (strict-lower
+    # diagonals + halved main diagonal as (hi, lo) planes; measured
+    # 103.8 Gnnz/s on v5e round 5, vs 51.0 through the round-4 one-sided
+    # expansion)
+    big = make_cant_proxy(n=62464, half_bw=32, dtype=np.float64, seed=seed)
+    A = SparseMatrix.create(big, Format.SSS)
+    t0 = time.perf_counter()
+    sp = SpDMV(A, dtype=np.float64)
+    t_pre = time.perf_counter() - t0
+    xb = np.random.default_rng(5).uniform(1, 2, big.ncols)
+    yb = np.asarray(sp(xb))
+    okb = allclose_spmv(
+        yb, A.csr.spmv_host(xb), dtype=np.float64,
+        nnz_per_row=A.tuned.nnz_full / A.nrows,
+        scale=A.csr.spmv_host(xb, absolute=True),
+    )
+    t_b = time_matvec(sp, xb, iters=iters)
+    log(
+        f"[fp64_df_sdia_banded] n=62464 nnz={A.tuned.nnz_full} preproc="
+        f"{t_pre:.2f}s t/iter={t_b*1e6:.1f}us "
+        f"{A.tuned.nnz_full/t_b/1e9:.3f} Gnnz/s | correct={okb}"
+    )
+
     csr = make_cant_proxy(n=n, half_bw=half_bw, dtype=np.float64, seed=seed)
     x = np.random.default_rng(5).uniform(1, 2, csr.ncols)
     for path, its in (("df", 4 * iters), ("xla", iters)):

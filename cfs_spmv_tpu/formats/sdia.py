@@ -66,15 +66,18 @@ class SDiaPlan:
 
 
 def select_offsets(uniq, cnt, n, *, fill, min_count, max_d, mirror,
-                   signed):
+                   signed, include_zero=False):
     """Dense-diagonal selection shared by the NumPy and native
     extraction paths: offsets whose count clears both the absolute and
     the fill-fraction threshold, heaviest-first truncated to the plane
-    budget. Returns the selected offsets or None."""
+    budget. Returns the selected offsets or None. ``include_zero``
+    admits the main diagonal into a paired-symmetric plan (the caller
+    halves its values so row + transpose sides sum to the full term —
+    the double-float path, ``ops/sdia_df``)."""
     length = np.maximum(n - np.abs(uniq), 1)
     ok = (cnt >= min_count) & (cnt >= fill * length)
     if not signed and not mirror:
-        ok &= uniq > 0
+        ok &= (uniq >= 0) if include_zero else (uniq > 0)
     if ok.sum() > max_d // (2 if mirror else 1):
         # keep the heaviest diagonals
         order = np.argsort(cnt[ok])[::-1][: max_d // (2 if mirror else 1)]
@@ -119,6 +122,7 @@ def extract_sdia(
     mirror: bool = False,
     signed: bool = False,
     min_frac: float = 0.0,
+    include_zero: bool = False,
 ):
     """Split COO entries into (SDiaPlan | None, residual mask).
 
@@ -152,7 +156,7 @@ def extract_sdia(
     cnt = cnt_full[uniq + shift]
     offsets = select_offsets(
         uniq, cnt, n, fill=fill, min_count=min_count, max_d=max_d,
-        mirror=mirror, signed=signed,
+        mirror=mirror, signed=signed, include_zero=include_zero,
     )
     if offsets is None:
         return None, np.ones(len(row), bool)

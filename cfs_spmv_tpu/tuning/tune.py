@@ -320,27 +320,75 @@ class CooDevicePlan:
 
 def _tune_fp64_df(csr: CSR, fmt: Format,
                   cache_dir: str | None = None) -> TunedMatrix | None:
-    """fp64 via the double-float Pallas kernel (``ops/bell2_df``).
+    """fp64 via the double-float Pallas kernels.
 
-    Values split into fp32 (hi, lo) pairs laid out in ONE BELL2 plan
-    (the lo plane rides ``Bell2Plan.vals2`` in the identical slot
-    layout); x splits on device; y folds back to float64. Returns None
-    when the plan is not word-eligible (non-contig windows or > PREF_
-    CMAX chunks) — the caller then falls back to the XLA path."""
+    Symmetric square matrices first peel dense diagonals into a df SDIA
+    stream (``ops/sdia_df``: values stay in the paired strict-lower
+    representation, run through the static-shift datapath as fp32
+    (hi, lo) planes — no 2x expansion, no gathers; offset 0 is admitted
+    with pre-halved values so row + transpose sides sum to the full
+    diagonal term). The residual — everything for asymmetric matrices —
+    expands to one BELL2 plan whose values are fp32 (hi, lo) pairs (the
+    lo plane rides ``Bell2Plan.vals2``; ``ops/bell2_df``); x splits on
+    device; y folds back to float64. Returns None when a nonempty
+    residual plan is not word-eligible (non-contig windows or
+    > PREF_CMAX chunks) — the caller then falls back to the XLA path.
+
+    Reference: ``--enable-dp`` runs every kernel — including the
+    symmetric bandwidth-structured ones — in double
+    (``configure.ac:48-67``, ``csr_matrix.tpp:2706-3028``)."""
     import jax.numpy as jnp
 
     from ..formats.bell2 import build_bell2_from_arrays
+    from ..formats.sdia import SDIA_SYM_ROWS_MAX, extract_sdia
     from ..ops.bell2_df import bell2_spmv_tiles_df, fold_df_tiles, split_df
     from ..ops.bell2_kernel import meta_word, word_eligible
+    from ..ops.sdia_df import sdia_sym_tiles_df
     from ..ops.spmv import pad_x
 
     from ..io.plancache import cached_build
 
-    coo = csr.to_coo().expand_symmetric() if csr.symmetric else csr.to_coo()
-    if coo.nnz == 0:
+    if csr.nnz == 0:
         return None  # trivial: let the XLA path return zeros
+    nrows = csr.nrows
+    # df pairs double the whole-x+y-in-VMEM footprint of the symmetric
+    # SDIA kernel, so its row ceiling halves
+    sym_sdia_ok = (
+        csr.symmetric and csr.nrows == csr.ncols
+        and csr.nrows <= SDIA_SYM_ROWS_MAX // 2
+    )
 
     def _build():
+        if sym_sdia_ok:
+            lcoo = csr.to_coo()  # lower triangle incl. diagonal
+            row_l = np.asarray(lcoo.row)
+            col_l = np.asarray(lcoo.col)
+            val_l = np.asarray(lcoo.val, np.float64)
+            dia, resid = extract_sdia(
+                row_l, col_l, val_l, nrows, dtype=np.float64,
+                include_zero=True, min_frac=0.25,
+            )
+            if dia is not None:
+                if 0 in dia.offsets:
+                    # halve the main diagonal (exact: x0.5 scales the
+                    # f64 exponent) — the kernel's row and transpose
+                    # sides then each contribute half
+                    dia.vals[:, dia.offsets.index(0)] *= 0.5
+                rr, cc, vv = row_l[resid], col_l[resid], val_l[resid]
+                strict = rr != cc
+                er = np.concatenate([rr, cc[strict]]).astype(np.int32)
+                ec = np.concatenate([cc, rr[strict]]).astype(np.int32)
+                hi, lo = split_df(np.concatenate([vv, vv[strict]]))
+                plan = build_bell2_from_arrays(
+                    nrows, nrows, er, ec, hi, dtype=np.float32, val2=lo,
+                    force_slot=True,
+                )
+                plan.dia = dia
+                return plan
+        coo = (
+            csr.to_coo().expand_symmetric() if csr.symmetric
+            else csr.to_coo()
+        )
         hi, lo = split_df(np.asarray(coo.val, np.float64))
         return build_bell2_from_arrays(
             coo.nrows, coo.ncols,
@@ -352,42 +400,68 @@ def _tune_fp64_df(csr: CSR, fmt: Format,
         _build, csr, np.float64, cache_dir, fmt="bell2_df",
     )
     meta_np = np.asarray(plan.meta)
-    if plan.vals2 is None or not word_eligible(
+    has_far = plan.nnz > 0
+    if has_far and (plan.vals2 is None or not word_eligible(
         meta_np, contig=plan.windows_contig, depth=plan.window_depth,
         tiles_per_block=plan.tiles_per_block,
-    ):
+    )):
         info("tune: fp64 df plan not word-eligible -> XLA fallback")
         return None
     dev = {
         "vh": jnp.asarray(plan.vals),
-        "vl": jnp.asarray(plan.vals2),
+        "vl": None if plan.vals2 is None else jnp.asarray(plan.vals2),
         "pk": jnp.asarray(plan.packed),
         "mw": jnp.asarray(meta_word(meta_np)),
         "sb": jnp.asarray(plan.step_block),
         "perm": None if plan.row_perm is None
         else jnp.asarray(plan.row_perm),
     }
+    LANES = 128
+    dia_plan = plan.dia
+    if dia_plan is not None:
+        dh, dl = split_df(np.asarray(dia_plan.vals, np.float64))
+        dev["dh"] = jnp.asarray(dh)
+        dev["dl"] = jnp.asarray(dl)
+    dia_offsets = None if dia_plan is None else tuple(dia_plan.offsets)
+    dia_T = -(-nrows // LANES)
     T = plan.num_row_tiles
     x_rows, K, BT = plan.x_rows, plan.chunks_per_step, plan.tiles_per_block
-    depth, nrows = plan.window_depth, coo.nrows
-    LANES = 128
+    depth = plan.window_depth
 
     def _one(ops, x):
         xh, xl = split_df(x)
-        yh, yl = bell2_spmv_tiles_df(
-            ops["vh"], ops["vl"], ops["pk"], ops["mw"], ops["sb"],
-            pad_x(xh, x_rows), pad_x(xl, x_rows),
-            num_row_tiles=T, chunks_per_step=K, tiles_per_block=BT,
-            depth=depth, interpret=spmv_ops.use_interpret(),
-        )
-        tiles = fold_df_tiles(yh, yl, T)
-        flat = tiles.reshape(-1)
-        if ops["perm"] is not None:
-            # grouped plan: gather back to original row order (rows in
-            # unvisited blocks / absent rows hit the zero sentinel)
-            flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
-            return flat[ops["perm"]]
-        return flat[:nrows]
+        y = None
+        if has_far:
+            yh, yl = bell2_spmv_tiles_df(
+                ops["vh"], ops["vl"], ops["pk"], ops["mw"], ops["sb"],
+                pad_x(xh, x_rows), pad_x(xl, x_rows),
+                num_row_tiles=T, chunks_per_step=K, tiles_per_block=BT,
+                depth=depth, interpret=spmv_ops.use_interpret(),
+            )
+            tiles = fold_df_tiles(yh, yl, T)
+            flat = tiles.reshape(-1)
+            if ops["perm"] is not None:
+                # grouped plan: gather back to original row order (rows
+                # in unvisited blocks / absent rows hit the zero
+                # sentinel)
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((1,), flat.dtype)]
+                )
+                y = flat[ops["perm"]]
+            else:
+                y = flat[:nrows]
+        if dia_offsets is not None:
+            dyh, dyl = sdia_sym_tiles_df(
+                ops["dh"], ops["dl"],
+                pad_x(xh, dia_T), pad_x(xl, dia_T),
+                offsets=dia_offsets,
+                interpret=spmv_ops.use_interpret(),
+            )
+            ydia = (
+                dyh.astype(jnp.float64) + dyl.astype(jnp.float64)
+            ).reshape(-1)[:nrows]
+            y = ydia if y is None else y + ydia
+        return y
 
     def apply_mv(ops, x):
         return _one(ops, x)
@@ -396,14 +470,22 @@ def _tune_fp64_df(csr: CSR, fmt: Format,
         cols = [_one(ops, x[:, b]) for b in range(x.shape[1])]
         return jnp.stack(cols, axis=1)
 
+    nnz_log = plan.nnz + (0 if dia_plan is None else dia_plan.nnz)
+    if csr.symmetric:
+        ndiag = int(np.count_nonzero(
+            np.asarray(csr.indices)
+            == np.repeat(np.arange(nrows), np.diff(csr.indptr))
+        )) if dia_plan is not None else 0
+        nnz_log = 2 * csr.nnz - ndiag if dia_plan is not None else plan.nnz
     info(
         "tune: fp64 -> double-float Pallas path, nnz=%d chunks=%d "
-        "pad=%.2fx depth=%d grouped=%s",
-        coo.nnz, plan.num_chunks, plan.padding_ratio, depth,
+        "pad=%.2fx depth=%d grouped=%s sdia=%s",
+        nnz_log, plan.num_chunks, plan.padding_ratio, depth,
         plan.row_perm is not None,
+        0 if dia_plan is None else len(dia_plan.offsets),
     )
     return TunedMatrix(
-        fmt, coo.nrows, coo.ncols, coo.nnz, csr.symmetric, plan,
+        fmt, nrows, csr.ncols, nnz_log, csr.symmetric, plan,
         dev, apply_mv, apply_mm, 0.0, plan.padding_ratio,
     )
 

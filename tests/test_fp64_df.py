@@ -107,6 +107,77 @@ def test_df_matmat():
         assert _rel_err(Y[:, b], ref, scale) < DF_RTOL
 
 
+def test_df_sdia_peel_banded():
+    """Dense-banded symmetric fp64 routes through the df SDIA stream
+    (``ops/sdia_df``): strict-lower diagonals + halved main diagonal in
+    (hi, lo) planes, no 2x one-sided expansion. The round-4 path paid
+    the expansion + gather datapath at a fifth of the fp32 SDIA speed
+    (VERDICT r4 missing #1)."""
+    coo = COO.random(5000, 5000, 14.0, symmetric=True, bandwidth=16,
+                     seed=12, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    tuned = _tune_fp64_df(csr, Format.SSS)
+    assert tuned is not None
+    assert tuned.plan.dia is not None, "banded sym must peel SDIA"
+    assert 0 in tuned.plan.dia.offsets, "main diagonal joins the planes"
+    x = np.random.default_rng(13).uniform(1.0, 2.0, csr.ncols)
+    y = np.asarray(tuned.matvec(x))
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert _rel_err(y, ref, scale) < DF_RTOL
+    # logical nnz accounting matches the expanded count
+    diag = int(np.count_nonzero(
+        csr.indices == np.repeat(np.arange(csr.nrows),
+                                 np.diff(csr.indptr))
+    ))
+    assert tuned.nnz_full == 2 * csr.nnz - diag
+
+
+def test_df_sdia_peel_with_residual():
+    """Band + scattered tail: the peel keeps the band, the residual
+    expands onto the one-sided df stream, and the two parts sum
+    exactly."""
+    rng = np.random.default_rng(14)
+    n = 4096
+    band = COO.random(n, n, 10.0, symmetric=True, bandwidth=8, seed=15,
+                      dtype=np.float64)
+    # scattered strict-lower tail (~10% of entries)
+    m = 2000
+    r = rng.integers(1, n, m)
+    c = (r - rng.integers(1, 900, m)).clip(0)
+    swap = c > r
+    r[swap], c[swap] = c[swap], r[swap].copy()
+    keep = r != c
+    row = np.concatenate([band.row, r[keep]])
+    col = np.concatenate([band.col, c[keep]])
+    val = np.concatenate([band.val, rng.uniform(-1, 1, keep.sum())])
+    coo = COO(n, n, row, col, val, symmetric=True).canonicalize()
+    csr = CSR.from_coo(coo)
+    tuned = _tune_fp64_df(csr, Format.SSS)
+    assert tuned is not None
+    assert tuned.plan.dia is not None
+    assert tuned.plan.nnz > 0, "residual must ride the one-sided stream"
+    x = np.random.default_rng(16).uniform(1.0, 2.0, csr.ncols)
+    y = np.asarray(tuned.matvec(x))
+    ref = csr.spmv_host(x)
+    scale = csr.spmv_host(x, absolute=True)
+    assert _rel_err(y, ref, scale) < DF_RTOL
+
+
+def test_df_sdia_matmat():
+    coo = COO.random(3000, 3000, 12.0, symmetric=True, bandwidth=12,
+                     seed=17, dtype=np.float64)
+    csr = CSR.from_coo(coo)
+    tuned = _tune_fp64_df(csr, Format.SSS)
+    assert tuned is not None and tuned.plan.dia is not None
+    X = np.random.default_rng(18).uniform(1.0, 2.0, (csr.ncols, 3))
+    Y = np.asarray(tuned.matmat(X))
+    for b in range(3):
+        ref = csr.spmv_host(X[:, b])
+        scale = csr.spmv_host(X[:, b], absolute=True)
+        assert _rel_err(Y[:, b], ref, scale) < DF_RTOL
+
+
 def test_df_rectangular():
     coo = COO.random(900, 1400, 4.0, symmetric=False, bandwidth=200,
                      seed=10, dtype=np.float64)
