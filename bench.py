@@ -88,6 +88,12 @@ def make_random_band(n=50_000, per_row=28, half_bw=1500, seed=0):
     return random_band(n=n, per_row=per_row, half_bw=half_bw, seed=seed)
 
 
+def make_near_band_paired(seed=0):
+    from cfs_spmv_tpu.utils.proxies import near_band_paired
+
+    return near_band_paired(seed=seed)
+
+
 def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same",
               reorder="auto", rhs=0):
     from cfs_spmv_tpu.utils.timing import time_matvec
@@ -327,6 +333,16 @@ def main():
             "random_band_adversarial", make_random_band(), iters=1000,
             reorder=False,
         )
+    )
+    # near-banded irregular symmetric (paired-stream proxy, VERDICT r4
+    # #2): locally-dense diagonals below the SDIA bar. The round-5
+    # cost gate routes its loose paired pack (fill 0.45) to the
+    # mirrored one-sided stream — 65.5 -> 27.7 us measured
+    # (docs/KERNEL_NOTES_R5.md); tracked on stderr (58% of the
+    # CSR-traffic SOL; the stream's own-traffic SOL is met)
+    bench_one(
+        "near_band_paired", make_near_band_paired(), iters=1000,
+        reorder=False,
     )
     # capability extras (not in the headline): bf16 storage, fp64 cost
     bench_one("cant_proxy_sym_bf16", make_cant_proxy(), values="bfloat16")

@@ -125,6 +125,99 @@ class SBellPlan:
         return b + self.diag.nbytes
 
 
+#: measured per-chunk kernel cost on v5e (round 5, lazy-store kernels),
+#: in the planner's ~1.25 ns cost-model units: paired 20.5 ns/chunk at
+#: TW=2 (cant stream, fill 0.95) / 34.9 at TW=4 (near_band_paired,
+#: fill 0.45); one-sided word path 9.3 ns/chunk
+_CYC_PAIRED = {2: 16.4, 4: 27.9}
+_CYC_ONESIDED = 7.5
+
+
+def _paired_mode() -> str:
+    """CFS_PAIRED: 'auto' (cost-gated, default), 'force' (always pair —
+    the pre-round-5 behavior), 'off' (always one-sided)."""
+    import os
+
+    m = os.environ.get("CFS_PAIRED", "auto").lower()
+    return m if m in ("auto", "force", "off") else "auto"
+
+
+def _onesided_est_chunks(row, col, T) -> float:
+    """Modeled chunk count if the paired entries were mirrored onto the
+    one-sided slot-packed stream: max(lane-conflict floor, capacity
+    floor) of the mirrored rows, with a 15% pack-overhead margin
+    (measured sweep/first-fit packs land 0-13% over their floors)."""
+    from .bell2 import _lane_count_table, _lane_floor_chunks, _tile_size_floor
+
+    rows_m = np.concatenate([row, col])
+    tbl = _lane_count_table(rows_m, T)
+    return 1.15 * max(
+        _lane_floor_chunks(tbl), _tile_size_floor(tbl), 1
+    )
+
+
+def _pack_paired(row, col, tile, seg, off, T, transpose_windows):
+    """Diagonal-unit pack of the paired stream (shared pack_chunks).
+
+    The window cap trades kernel cost (transpose stores unroll
+    statically per window) against packing density: try 2 (enough for
+    contiguous bands), widen to 4 when diagonal clusters are scattered
+    (stencils). Returns (pack, tw)."""
+    from .bell2 import pack_chunks
+
+    off_adj = off - off.min()
+    unit_key = tile.astype(np.int64) * (int(off_adj.max()) + 1) + off_adj
+    if transpose_windows is not None:
+        return pack_chunks(
+            unit_key, tile, seg, T, max_windows=transpose_windows
+        ), transpose_windows
+    pk2 = pack_chunks(unit_key, tile, seg, T, max_windows=2)
+    slots2 = len(pk2[3]) * SUBLANES * LANES
+    if slots2 > 1.7 * max(len(row), 1):
+        pk4 = pack_chunks(unit_key, tile, seg, T, max_windows=4)
+        if len(pk4[3]) * 1.33 < len(pk2[3]):
+            return pk4, 4
+    return pk2, 2
+
+
+def _stabilize_slots(windows, nwin, tw):
+    """Slot-stable window assignment for the lazy paired kernel.
+
+    pack_chunks assigns window slots in first-seen order, so on shifting
+    band structure the (slot -> target) map changes at almost every
+    chunk even though most targets persist. This pass keeps each target
+    in the slot it held in the previous chunk and places new targets in
+    freed slots, minimizing per-slot target changes (= transpose-flush
+    RMWs in ``_sbell_kernel``). Returns (windows8, nwin, perm): windows8
+    is (C0, 8) with -1 marking unused slots (targets may occupy ANY
+    subset of slots 0..tw-1 now), perm[ci, old_slot] = new_slot remaps
+    the entries' r2 field. O(C0 * tw) host scan."""
+    C0 = len(nwin)
+    out = np.full((C0, SUBLANES), -1, np.int32)
+    perm = np.zeros((C0, SUBLANES), np.int32)
+    prev: dict[int, int] = {}
+    for ci in range(C0):
+        nv = int(nwin[ci])
+        real = windows[ci, :nv]
+        slots = [-1] * nv
+        taken = [False] * tw
+        for s0 in range(nv):
+            ps = prev.get(int(real[s0]))
+            if ps is not None and not taken[ps]:
+                slots[s0] = ps
+                taken[ps] = True
+        free = (w for w in range(tw) if not taken[w])
+        cur: dict[int, int] = {}
+        for s0 in range(nv):
+            if slots[s0] < 0:
+                slots[s0] = next(free)
+            out[ci, slots[s0]] = real[s0]
+            perm[ci, s0] = slots[s0]
+            cur[int(real[s0])] = slots[s0]
+        prev = cur
+    return out, nwin, perm
+
+
 def build_sbell_plan(
     csr: CSR,
     *,
@@ -315,6 +408,37 @@ def build_sbell_plan(
         "sbell: split+dia %.1fs pair %.1fs",
         t_dia - t0, t_pair - t_dia,
     )
+
+    # ---- pack the paired stream FIRST, then gate on its real cost ----
+    # Measured v5e round 5 (lazy-store kernels): the paired kernel runs
+    # 20.5 ns/chunk at TW=2 and 34.9 at TW=4, vs 9.3 for the one-sided
+    # word path. Pairing halves stored entries but only pays when its
+    # pack is dense: at the near_band_paired proxy's 0.45 fill the
+    # paired program measured 58.1 us where the mirrored one-sided
+    # route models ~17 us. CFS_PAIRED=force|auto|off overrides.
+    paired_pack = None
+    tw = 2
+    if len(row):
+        paired_pack, tw = _pack_paired(
+            row, col, tile, seg, off, T, transpose_windows
+        )
+        mode = _paired_mode()
+        if mode == "off" or (
+            mode == "auto"
+            and len(paired_pack[3]) * _CYC_PAIRED.get(tw, 28.0)
+            > 1.05 * _onesided_est_chunks(row, col, T) * _CYC_ONESIDED
+        ):
+            info(
+                "sbell: paired pack too loose (%d chunks for %d "
+                "entries) — routing to the one-sided stream",
+                len(paired_pack[3]), len(row),
+            )
+            fr0 = np.concatenate([fr0, row])
+            fc0 = np.concatenate([fc0, col])
+            fv0 = np.concatenate([fv0, val])
+            row, col, val = row[:0], col[:0], val[:0]
+            tile = seg = off = row
+            paired_pack = None
     if len(fr0):
         # mirrored triples go straight to the planner (it sorts by
         # (tile, seg, q) itself) — skips a full canonicalize sort + CSR
@@ -345,6 +469,7 @@ def build_sbell_plan(
     nnz_paired = len(row)
 
     if nnz_paired == 0:
+        del paired_pack
         # pure far/SDIA matrix: emit empty covering chunks in the PAIRED
         # layout — int32 packed with the window SENTINEL 7 in the r2
         # field and in-block window sentinels in meta, exactly like real
@@ -366,30 +491,18 @@ def build_sbell_plan(
             T, x_rows, K, BT, 0, far_plan, 2, dia_plan,
         )
 
-    # --- diagonal-unit packing (shared with bell2's pack_chunks) -------
-    from .bell2 import pack_chunks
+    # diagonal-unit pack computed above (before the routing gate)
+    e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = paired_pack
 
-    off_adj = off - off.min()
-    unit_key = tile.astype(np.int64) * (int(off_adj.max()) + 1) + off_adj
-    # window cap trades kernel cost (stores unroll statically per window)
-    # against packing density: try 2 (enough for contiguous bands), widen
-    # to 4 when diagonal clusters are scattered (stencils)
-    if transpose_windows is not None:
-        tw = transpose_windows
-        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
-            unit_key, tile, seg, T, max_windows=tw
-        )
-    else:
-        e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = pack_chunks(
-            unit_key, tile, seg, T, max_windows=2
-        )
-        tw = 2
-        slots2 = len(chunk_tiles) * SUBLANES * LANES
-        if slots2 > 1.7 * max(nnz_paired, 1):
-            e4 = pack_chunks(unit_key, tile, seg, T, max_windows=4)
-            if len(e4[3]) * 1.33 < len(chunk_tiles):
-                e_chunk, e_sub, e_r2, chunk_tiles, windows, nwin = e4
-                tw = 4
+    # slot stability (round 5): re-assign each chunk's windows to the
+    # slots their targets held in the PREVIOUS chunk, so the lazy paired
+    # kernel's per-slot transpose accumulators flush (one RMW) only when
+    # a slot's target actually changes — on shifting-band structure the
+    # raw first-seen slot order changes almost every chunk while most
+    # TARGETS persist (measured: win-tuple run length 1.06 vs 3.9 after
+    # stabilization on the near_band_paired proxy)
+    windows, nwin, slot_perm = _stabilize_slots(windows, nwin, tw)
+    e_r2 = slot_perm[e_chunk, e_r2].astype(np.int64)
 
     remap, C, blk_full = group_pad(chunk_tiles, K, BT)
     meta = np.zeros((C, META_W), np.int32)
@@ -400,8 +513,21 @@ def build_sbell_plan(
     # start tile; padding chunks get their block's sentinel everywhere
     meta[:, 2:] = (blk_full.astype(np.int32) * BT)[:, None]
     sent = (chunk_tiles // BT * BT).astype(np.int32)
-    used = np.arange(SUBLANES)[None, :] < np.maximum(nwin, 1)[:, None]
-    meta[remap, 2:] = np.where(used, windows, sent[:, None])
+    # stabilized windows may occupy any subset of slots 0..tw-1 (-1 =
+    # unused); unused slots carry the in-block sentinel
+    meta[remap, 2:] = np.where(windows >= 0, windows, sent[:, None])
+    # forward-fill K-padding chunks' meta from the last real chunk of the
+    # same block (cf. the bell2 lazy-store fill): the lazy paired kernel
+    # overwrites row `sub` with a register accumulator that resets on sub
+    # change — a padding chunk pointing at sub 0 would wipe that row —
+    # and inheriting the windows keeps slot targets unchanged across the
+    # padding (zero contributions, no flushes)
+    written = np.zeros(C, bool)
+    written[remap] = True
+    if C and not written.all():
+        src = np.maximum.accumulate(np.where(written, np.arange(C), -1))
+        fillp = ~written & (src >= 0) & (blk_full == blk_full[src])
+        meta[fillp] = meta[src[fillp]]
     step_block = blk_full[::K].copy()
 
     vals_arr = np.zeros((C, SUBLANES, LANES), dtype)

