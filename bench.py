@@ -162,20 +162,9 @@ def bench_one(name, csr, *, iters=2000, dtype=np.float32, values="same",
 
 
 def ballast_probe(mb=64):
-    """Host-noise probe: seconds to gather an ``mb``-MB array through a
-    random permutation. On a quiet host this is ~0.2 s; under the VM's
-    fast-RAM pressure episodes it inflates 10-30x (see CLAUDE.md) —
-    preproc seconds quoted next to a bad probe are host-bound, not
-    algorithmic."""
-    n = mb * (1 << 20) // 8
-    rng = np.random.default_rng(0)
-    src = rng.uniform(size=n)
-    idx = rng.permutation(n)
-    t0 = time.perf_counter()
-    out = src[idx]
-    dt = time.perf_counter() - t0
-    del out
-    return dt
+    from cfs_spmv_tpu.utils.timing import ballast_probe as _bp
+
+    return _bp(mb)
 
 
 def bench_full_scale(iters=200):

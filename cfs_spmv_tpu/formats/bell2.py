@@ -928,6 +928,7 @@ def build_bell2_plan(
     cover_all_tiles: bool = True,
     allow_runs: bool = True,
     allow_relax: bool = True,
+    force_slot: bool = False,
 ) -> Bell2Plan:
     """Vectorized plan construction (O(nnz log nnz) + O(#subrows)).
 
@@ -943,6 +944,7 @@ def build_bell2_plan(
         chunks_per_step=chunks_per_step, tiles_per_block=tiles_per_block,
         diag_threshold=diag_threshold, cover_all_tiles=cover_all_tiles,
         allow_runs=allow_runs, allow_relax=allow_relax,
+        force_slot=force_slot,
     )
 
 

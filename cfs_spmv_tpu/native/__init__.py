@@ -153,6 +153,25 @@ def _load():
             i32p, i32p, ctypes.c_int64, ctypes.c_int64, u8p,
             ctypes.c_int64, i32p, u8p,
         ]
+        lib.cfs_dist_sym_count.restype = ctypes.c_int64
+        lib.cfs_dist_sym_count.argtypes = [
+            i64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p,
+        ]
+        lib.cfs_dist_sym_fill.restype = None
+        lib.cfs_dist_sym_fill.argtypes = [
+            i64p, i32p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p,
+            i32p, i32p, ctypes.c_void_p,
+            i32p, i32p, ctypes.c_void_p,
+            i32p, i32p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.cfs_sym_adjacency.restype = None
         lib.cfs_sym_adjacency.argtypes = [
             i64p, i32p, ctypes.c_int64, i64p, i32p,
@@ -674,6 +693,64 @@ def sym_split_fill(indptr, indices, data, n, D, D0, dmap, mirror,
         diag.ctypes.data_as(ctypes.c_void_p),
         rrow, rcol, rval.ctypes.data_as(ctypes.c_void_p),
     ))
+
+
+def dist_sym_count(indptr, indices, n, ndev, r_end, NB, shard_rows):
+    """Pass A of the distributed symmetric shard split (csrc
+    cfs_dist_sym_count): per-shard near-offset histograms + near/far/
+    mirror counts + cross-device entry count, one CSR pass. Returns
+    (off_cnt (ndev, shard_rows), cnt_near, cnt_far, cnt_mirror, cross)
+    or None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    off_cnt = np.zeros((ndev, shard_rows), np.int64)
+    cnt_near = np.zeros(ndev, np.int64)
+    cnt_far = np.zeros(ndev, np.int64)
+    cnt_mirror = np.zeros(ndev, np.int64)
+    cross = lib.cfs_dist_sym_count(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        n, ndev, np.ascontiguousarray(r_end, np.int64),
+        NB, shard_rows, off_cnt.reshape(-1), cnt_near, cnt_far,
+        cnt_mirror,
+    )
+    return off_cnt, cnt_near, cnt_far, cnt_mirror, int(cross)
+
+
+def dist_sym_fill(indptr, indices, data, n, ndev, r_start, r_end, NB,
+                  shard_rows, dmap, Dk, Du, mirror_planes, R_loc,
+                  near_base, far_base, mir_base, near_r, near_c, near_v,
+                  far_r, far_c, far_v, mir_r, mir_c, mir_v, dia_vals):
+    """Pass B (csrc cfs_dist_sym_fill): route every strict-lower entry
+    into the dense-diagonal planes / near residual / own-far / mirror
+    streams in one CSR pass. ``data`` must be in the plan value dtype;
+    triple arrays are preallocated from pass A's counts. Returns False
+    when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    data = np.ascontiguousarray(data)
+    lib.cfs_dist_sym_fill(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        data.ctypes.data_as(ctypes.c_void_p), data.itemsize,
+        n, ndev,
+        np.ascontiguousarray(r_start, np.int64),
+        np.ascontiguousarray(r_end, np.int64),
+        NB, shard_rows,
+        np.ascontiguousarray(dmap, np.int32), len(dmap), Dk, Du,
+        int(mirror_planes), R_loc,
+        np.ascontiguousarray(near_base, np.int64),
+        np.ascontiguousarray(far_base, np.int64),
+        np.ascontiguousarray(mir_base, np.int64),
+        near_r, near_c, near_v.ctypes.data_as(ctypes.c_void_p),
+        far_r, far_c, far_v.ctypes.data_as(ctypes.c_void_p),
+        mir_r, mir_c, mir_v.ctypes.data_as(ctypes.c_void_p),
+        None if dia_vals is None
+        else dia_vals.ctypes.data_as(ctypes.c_void_p),
+    )
+    return True
 
 
 def sym_adjacency(indptr, indices, n, nnz_strict):

@@ -252,18 +252,21 @@ class DistSpDMV:
                 e = (d + k) % self.ndev
                 lo, hi = cuts[e], cuts[e + 1]
                 c0 = starts[e]
-                fcoo = COO(
+                from ..formats.bell2 import build_bell2_from_arrays
+
+                # raw triples straight into the slot packer (same
+                # rationale as the halo/gather far build: the unit
+                # pipeline is ~40x slower on dense far diagonals)
+                per_k[k][d] = build_bell2_from_arrays(
                     self.shard_rows, self.shard_rows,
                     lro[lo:hi].astype(np.int32),
                     (gco[lo:hi] - c0).astype(np.int32),
-                    vo[lo:hi].astype(self.dtype),
-                )
-                per_k[k][d] = build_bell2_plan(
-                    CSR.from_coo(fcoo), dtype=self.dtype,
+                    np.asarray(vo[lo:hi], self.dtype),
+                    dtype=self.dtype,
                     chunks_per_step=self.K_ring, tiles_per_block=self.BT,
                     cover_all_tiles=False,
                     # run length is a static kernel arg shared SPMD-wide
-                    allow_runs=False, allow_relax=False,
+                    allow_runs=False, allow_relax=False, force_slot=True,
                 )
         return tuple(
             _pad_bell2(per_k[k], self.dtype) for k in range(self.ndev)
@@ -417,6 +420,9 @@ class DistSpDMV:
                         shard, dtype=self.dtype,
                         chunks_per_step=self.K, tiles_per_block=self.BT,
                         allow_runs=False, allow_relax=False,
+                        # slot packer directly: the unit pipeline is
+                        # ~40x slower on dense far/stencil diagonals
+                        force_slot=True,
                     )
                 )
             self._far = _pad_bell2(plans, self.dtype)
@@ -428,41 +434,190 @@ class DistSpDMV:
         self._diag = None
 
     # ------------------------------------------------------------------
-    def _init_symmetric(self, csr: CSR):
-        lower, diag, _ = csr.split_triangle()
-        rowlen = np.diff(lower.indptr)
-        row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+    # ------------------------------------------------------------------
+    def _select_union_dia(self, union):
+        """Shared dense-diagonal selection for the shard split paths:
+        sets dia_offsets/_dia_pos/dia_mirror from the per-shard union
+        counts and returns (Du, Dk, R_loc, dmap_arr)."""
+        import os as _os
+
+        from ..formats.sdia import BLOCK_ROWS, SDIA_MAX_D
+        from ..ops.sdia_kernel import _blocks_per_step
+
+        # over-full union: keep the heaviest-count offsets (mirrors
+        # extract_sdia's heaviest-first truncation; keeping the smallest
+        # offsets instead could park the densest diagonals on the far
+        # stream)
+        keep = sorted(union, key=lambda o: (-union[o], o))[:SDIA_MAX_D]
+        self.dia_offsets = tuple(sorted(keep))
+        # the shard SDIA kernel keeps the whole shard y (+x) resident in
+        # VMEM; past ~4M rows/shard that allocation exceeds the remote
+        # AOT compiler's scoped-vmem cap (measured: nlpkkt-scale at
+        # ndev=1, f32[65410,128] > the 16 MB scoped limit). Shards that
+        # big store MIRRORED (+d, -d) planes on the x/y-SEGMENTED
+        # blocked-y kernel instead (sdia_gen_tiles) — 2x value traffic
+        # but bounded per-segment VMEM, exactly like the single-chip
+        # >10M-row path (formats/sdia.py mirror mode). Env
+        # CFS_DIST_SDIA_ROWS_MAX overrides.
+        rows_max = int(
+            _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 5_000_000)
+        )
+        self.dia_mirror = bool(
+            self.dia_offsets and self.shard_rows > rows_max
+        )
+        self._dia_pos = self.dia_offsets
+        if self.dia_mirror:
+            info(
+                "dist: shard_rows=%d exceeds the whole-y SDIA gate "
+                "(%d): mirrored segmented SDIA", self.shard_rows,
+                rows_max,
+            )
+            self.dia_offsets = self._dia_pos + tuple(
+                -o for o in self._dia_pos
+            )
+        Du = len(self._dia_pos)
+        Dk = len(self.dia_offsets)  # kernel planes (2*Du when mirrored)
+        R_loc = -(-self.shard_rows // BLOCK_ROWS)
+        if Dk:
+            RB = _blocks_per_step(R_loc, Dk)
+            R_loc = -(-R_loc // RB) * RB
+        dmap_arr = np.full(self.shard_rows, -1, np.int32)
+        for jj, o in enumerate(self._dia_pos):
+            dmap_arr[o] = jj
+        return Du, Dk, R_loc, dmap_arr
+
+    # ------------------------------------------------------------------
+    def _shard_paired_plan(self, nr_, nc_, nv_):
+        """Paired SBELL plan for one shard's near residual (local
+        coordinates). Shard SDIA is handled by the caller with union
+        offsets; relaxed layouts are per-plan static kernel configs and
+        SPMD stacks shard streams into ONE program, hence dia=False /
+        allow_relax=False."""
+        ncoo = COO(
+            self.shard_rows, self.shard_rows,
+            np.ascontiguousarray(nr_, np.int32),
+            np.ascontiguousarray(nc_, np.int32),
+            np.ascontiguousarray(nv_, self.dtype),
+            symmetric=True,
+        )
+        return build_sbell_plan(
+            CSR.from_coo(ncoo), dtype=self.dtype,
+            chunks_per_step=self.K, tiles_per_block=self.BT,
+            transpose_windows=2, dia=False, allow_relax=False,
+        )
+
+    # ------------------------------------------------------------------
+    def _native_sym_split(self, lower, r_starts, r_ends):
+        """Native two-pass shard split (csrc cfs_dist_sym_count/_fill).
+
+        Returns (paired_plans, far_raw, dia_big, H_need) or None when
+        the native library is unavailable (the caller then runs
+        ``_numpy_sym_split``, which produces bit-identical outputs —
+        differential-tested in tests/test_native.py)."""
+        from .. import native as _native
+        from ..formats.sdia import SDIA_FILL
+
+        n = lower.nrows
+        NB = self.BT * LANES
+        nat = _native.dist_sym_count(
+            lower.indptr, lower.indices, n, self.ndev, r_ends, NB,
+            self.shard_rows,
+        )
+        if nat is None:
+            return None
+        off_cnt, cnt_near, cnt_far, cnt_mirror, cross = nat
+        self.far_nnz = 2 * cross
+
+        # union of qualifying dense diagonals (offsets are STATIC in
+        # the kernel trace, so the SPMD program needs one shared tuple;
+        # zero-filled planes cover shards missing a diagonal) — per-
+        # shard thresholds identical to the NumPy path
+        union: dict[int, int] = {}
+        for d in range(self.ndev):
+            cf = off_cnt[d]
+            uniq = np.flatnonzero(cf)
+            cnt = cf[uniq]
+            length = np.maximum(self.shard_rows - uniq, 1)
+            ok = (uniq > 0) & (cnt >= self.dia_min_count) & (
+                cnt >= SDIA_FILL * length
+            )
+            for o, c in zip(uniq[ok], cnt[ok]):
+                union[int(o)] = union.get(int(o), 0) + int(c)
+        Du, Dk, R_loc, dmap_arr = self._select_union_dia(union)
+
+        if Du:
+            sel = np.array(self._dia_pos, np.int64)
+            absorbed = off_cnt[:, sel].sum(axis=1)
+        else:
+            absorbed = np.zeros(self.ndev, np.int64)
+        n_near = cnt_near - absorbed
+        near_base = np.concatenate([[0], np.cumsum(n_near)])
+        far_base = np.concatenate([[0], np.cumsum(cnt_far)])
+        mir_base = np.concatenate([[0], np.cumsum(cnt_mirror)])
+        tot_n, tot_f, tot_m = (
+            int(near_base[-1]), int(far_base[-1]), int(mir_base[-1])
+        )
+        near_r = np.empty(max(tot_n, 1), np.int32)
+        near_c = np.empty(max(tot_n, 1), np.int32)
+        near_v = np.empty(max(tot_n, 1), self.dtype)
+        far_r = np.empty(max(tot_f, 1), np.int32)
+        far_c = np.empty(max(tot_f, 1), np.int32)
+        far_v = np.empty(max(tot_f, 1), self.dtype)
+        mir_r = np.empty(max(tot_m, 1), np.int32)
+        mir_c = np.empty(max(tot_m, 1), np.int32)
+        mir_v = np.empty(max(tot_m, 1), self.dtype)
+        dia_big = (
+            np.zeros((self.ndev, R_loc, Dk, 8, LANES), self.dtype)
+            if Du else None
+        )
+        data_c = np.ascontiguousarray(np.asarray(lower.data, self.dtype))
+        if not _native.dist_sym_fill(
+            lower.indptr, lower.indices, data_c, n, self.ndev,
+            r_starts, r_ends, NB, self.shard_rows, dmap_arr, Dk, Du,
+            self.dia_mirror, R_loc,
+            near_base[:-1], far_base[:-1], mir_base[:-1],
+            near_r, near_c, near_v, far_r, far_c, far_v,
+            mir_r, mir_c, mir_v, dia_big,
+        ):
+            return None
+
+        paired_plans, far_raw = [], []
+        H_need = 0
+        for d in range(self.ndev):
+            r0, _ = self.real[d]
+            sn = slice(near_base[d], near_base[d + 1])
+            paired_plans.append(
+                self._shard_paired_plan(near_r[sn], near_c[sn],
+                                        near_v[sn])
+            )
+            sf = slice(far_base[d], far_base[d + 1])
+            sm = slice(mir_base[d], mir_base[d + 1])
+            lr = np.concatenate(
+                [far_r[sf], mir_r[sm]]
+            ).astype(np.int64)
+            mc = np.concatenate(
+                [far_c[sf], mir_c[sm]]
+            ).astype(np.int64)
+            mv = np.concatenate([far_v[sf], mir_v[sm]])
+            far_raw.append((r0, lr, mc, mv))
+            if len(mc):
+                H_need = max(
+                    H_need,
+                    int(r0 - mc.min()),
+                    int(mc.max()) + 1 - (r0 + self.shard_rows),
+                )
+        return paired_plans, far_raw, dia_big, H_need
+
+    # ------------------------------------------------------------------
+    def _numpy_sym_split(self, lower, r_starts, r_ends):
+        """NumPy shard split (fallback when the native library is
+        absent; bit-identical outputs to ``_native_sym_split``)."""
+        BT = self.BT
+        row = np.repeat(
+            np.arange(lower.nrows, dtype=np.int64), np.diff(lower.indptr)
+        )
         col = lower.indices.astype(np.int64)
         val = np.asarray(lower.data)
-        self.nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
-
-        # balance on total work per tile (both triangles); halo comm
-        # (viable for banded structure) switches to uniform tiles — its
-        # static neighbor slices need contiguous equal segments
-        T = max(1, -(-csr.nrows // LANES))
-        BT = self.BT
-        bounds = self._halo_pregate(row, col, T, bt_align=BT)
-        if bounds is None:
-            hist = tile_nnz_histogram(lower.indptr, T)
-            histT = np.zeros(T, np.int64)
-            np.add.at(histT, col >> 7, 1)
-            bounds = partition_tiles_by_nnz(hist + histT, self.ndev)
-            bounds = (np.round(bounds / BT) * BT).astype(np.int64)
-            np.maximum.accumulate(bounds, out=bounds)
-            bounds = np.minimum(bounds, -(-csr.nrows // LANES))
-            bounds[0] = 0
-            bounds[-1] = -(-csr.nrows // LANES)
-        self.bounds = bounds
-
-        T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
-        self.shard_rows = T_max * LANES
-        self.real = [
-            (min(int(bounds[d]) * LANES, csr.nrows),
-             min(int(bounds[d + 1]) * LANES, csr.nrows)
-             - min(int(bounds[d]) * LANES, csr.nrows))
-            for d in range(self.ndev)
-        ]
-
         tile = row >> 7
         seg = col >> 7
         near = (tile // BT) == (seg // BT)
@@ -473,12 +628,6 @@ class DistSpDMV:
         # bucketed ONCE by column owner with a stable argsort. The old
         # code evaluated full-stream boolean masks per device (the
         # mirror mask three times) — O(ndev * nnz) host work. ---------
-        r_starts = np.array(
-            [self.real[d][0] for d in range(self.ndev)], np.int64
-        )
-        r_ends = r_starts + np.array(
-            [self.real[d][1] for d in range(self.ndev)], np.int64
-        )
         row_lo = np.searchsorted(row, r_starts)
         row_hi = np.searchsorted(row, r_ends)
 
@@ -502,50 +651,18 @@ class DistSpDMV:
             if not len(nr_):
                 continue
             offd = nr_ - nc_
-            uniq, cnt = np.unique(offd, return_counts=True)
+            # bounded-key bincount instead of np.unique's full sort
+            # (near offsets are strict-lower within one shard window)
+            cnt_full = np.bincount(offd, minlength=self.shard_rows)
+            uniq = np.flatnonzero(cnt_full)
+            cnt = cnt_full[uniq]
             length = np.maximum(self.shard_rows - uniq, 1)
             ok = (uniq > 0) & (cnt >= self.dia_min_count) & (
                 cnt >= SDIA_FILL * length
             )
             for o, c in zip(uniq[ok], cnt[ok]):
                 union[int(o)] = union.get(int(o), 0) + int(c)
-        # over-full union: keep the heaviest-count offsets (mirrors
-        # extract_sdia's heaviest-first truncation; keeping the smallest
-        # offsets instead could park the densest diagonals on the far
-        # stream)
-        keep = sorted(union, key=lambda o: (-union[o], o))[:SDIA_MAX_D]
-        self.dia_offsets = tuple(sorted(keep))
-        # the shard SDIA kernel keeps the whole shard y (+x) resident in
-        # VMEM; past ~4M rows/shard that allocation exceeds the remote
-        # AOT compiler's scoped-vmem cap (measured: nlpkkt-scale at
-        # ndev=1, f32[65410,128] > the 16 MB scoped limit). Shards that
-        # big route their diagonals to the paired stream instead —
-        # slower but correct; real pod runs shrink shards below the
-        # gate anyway. Env CFS_DIST_SDIA_ROWS_MAX overrides.
-        import os as _os
-
-        # empirical cap: Queen-scale (4.15M rows) whole-y compiles
-        # through the remote AOT path, nlpkkt-scale (8.37M) does not
-        rows_max = int(
-            _os.environ.get("CFS_DIST_SDIA_ROWS_MAX", 5_000_000)
-        )
-        self.dia_mirror = bool(
-            self.dia_offsets and self.shard_rows > rows_max
-        )
-        self._dia_pos = self.dia_offsets
-        if self.dia_mirror:
-            # mirrored (+d, -d) planes on the x/y-SEGMENTED blocked-y
-            # kernel (sdia_gen_tiles) — 2x value traffic but bounded
-            # per-segment VMEM, exactly like the single-chip >10M-row
-            # path (formats/sdia.py mirror mode)
-            info(
-                "dist: shard_rows=%d exceeds the whole-y SDIA gate "
-                "(%d): mirrored segmented SDIA", self.shard_rows,
-                rows_max,
-            )
-            self.dia_offsets = self._dia_pos + tuple(
-                -o for o in self._dia_pos
-            )
+        Du, Dk, R_loc, dmap_arr = self._select_union_dia(union)
 
         # halo diagnostic: entries (either image) whose x column lives
         # on another device
@@ -562,40 +679,34 @@ class DistSpDMV:
             [[0], np.cumsum(np.bincount(co[mi], minlength=self.ndev))]
         ).astype(np.int64)
 
-        paired_plans, far_raw, diags, dia_vals = [], [], [], []
+        paired_plans, far_raw, dia_vals = [], [], []
         H_need = 0
         from ..formats.sdia import BLOCK_ROWS
-        from ..ops.sdia_kernel import _blocks_per_step
-
-        Du = len(self._dia_pos)
-        Dk = len(self.dia_offsets)  # kernel planes (2*Du when mirrored)
-        R_loc = -(-self.shard_rows // BLOCK_ROWS)
-        if Dk:
-            RB = _blocks_per_step(R_loc, Dk)
-            R_loc = -(-R_loc // RB) * RB
-        dmap = {o: j for j, o in enumerate(self._dia_pos)}
+        from .. import native as _native
 
         for d in range(self.ndev):
             r0, nr = self.real[d]
-            r1 = r0 + nr
             nr_, nc_, nv_ = shard_near[d]
             if Du:
-                offd = nr_ - nc_
-                on_dia = np.isin(offd, self._dia_pos)
+                # vectorized offset -> plane map (the former per-entry
+                # Python dict lookup dominated full-scale preprocessing)
+                j_all = dmap_arr[nr_ - nc_]
+                on_dia = j_all >= 0
                 dv = np.zeros((R_loc, Dk, 8, LANES), self.dtype)
-                g = nr_[on_dia]
-                j = np.array(
-                    [dmap[int(o)] for o in offd[on_dia]], np.int64
-                ) if on_dia.any() else np.zeros(0, np.int64)
-                v_dia = nv_[on_dia].astype(self.dtype)
-                dv[g // BLOCK_ROWS, j, (g // LANES) % 8, g % LANES] = (
-                    v_dia
-                )
+                g = nr_[on_dia].astype(np.int64)
+                j = j_all[on_dia]
+                v_dia = np.ascontiguousarray(nv_[on_dia], self.dtype)
+                if not _native.assemble_sdia(g, j, 0, Dk, v_dia, dv):
+                    dv[g // BLOCK_ROWS, j,
+                       (g // LANES) % 8, g % LANES] = v_dia
                 if self.dia_mirror:
                     # the -d plane: same values scattered by COLUMN
-                    gc = nc_[on_dia]
-                    dv[gc // BLOCK_ROWS, Du + j,
-                       (gc // LANES) % 8, gc % LANES] = v_dia
+                    gc = nc_[on_dia].astype(np.int64)
+                    if not _native.assemble_sdia(
+                        gc, j, Du, Dk, v_dia, dv
+                    ):
+                        dv[gc // BLOCK_ROWS, Du + j,
+                           (gc // LANES) % 8, gc % LANES] = v_dia
                 dia_vals.append(dv)
                 nr_, nc_, nv_ = nr_[~on_dia], nc_[~on_dia], nv_[~on_dia]
             sl = slice(row_lo[d], row_hi[d])
@@ -603,26 +714,7 @@ class DistSpDMV:
             fc_d = col[sl][~near[sl]]
             fv_d = val[sl][~near[sl]]
             md = morder[mcuts[d]:mcuts[d + 1]]
-            # near residual: fully local coordinates
-            ncoo = COO(
-                self.shard_rows, self.shard_rows,
-                nr_.astype(np.int32),
-                nc_.astype(np.int32),
-                nv_.astype(self.dtype),
-                symmetric=True,
-            )
-            paired_plans.append(
-                build_sbell_plan(
-                    CSR.from_coo(ncoo), dtype=self.dtype,
-                    chunks_per_step=self.K, tiles_per_block=BT,
-                    transpose_windows=2,
-                    # shard SDIA is handled above with union offsets
-                    dia=False,
-                    # relaxed layouts are per-plan static kernel configs;
-                    # SPMD stacks shard streams into ONE program
-                    allow_relax=False,
-                )
-            )
+            paired_plans.append(self._shard_paired_plan(nr_, nc_, nv_))
             # far: local rows, global cols, one-sided — this shard owns
             # rows of both mirror images that fall in [r0, r1)
             mr = np.concatenate([fr_d, col[md]])
@@ -636,8 +728,68 @@ class DistSpDMV:
                     int(r0 - mc.min()),
                     int(mc.max()) + 1 - (r0 + self.shard_rows),
                 )
+
+        dia_big = np.stack(dia_vals) if dia_vals else None
+        return paired_plans, far_raw, dia_big, H_need
+
+    def _init_symmetric(self, csr: CSR):
+        lower, diag, _ = csr.split_triangle()
+        rowlen = np.diff(lower.indptr)
+        row = np.repeat(np.arange(csr.nrows, dtype=np.int64), rowlen)
+        self.nnz_full = 2 * len(row) + int(np.count_nonzero(diag))
+
+        # balance on total work per tile (both triangles); halo comm
+        # (viable for banded structure) switches to uniform tiles — its
+        # static neighbor slices need contiguous equal segments
+        T = max(1, -(-csr.nrows // LANES))
+        BT = self.BT
+        bounds = self._halo_pregate(row, lower.indices, T, bt_align=BT)
+        # the int64 row stream (1 GB at nlpkkt scale) served only the
+        # pregate; the native split works off the CSR directly and this
+        # host's fast-backed RAM is capacity-limited (CLAUDE.md) — free
+        # it before the split (the NumPy fallback rebuilds it)
+        del row
+        if bounds is None:
+            hist = tile_nnz_histogram(lower.indptr, T)
+            histT = np.zeros(T, np.int64)
+            np.add.at(histT, lower.indices >> 7, 1)
+            bounds = partition_tiles_by_nnz(hist + histT, self.ndev)
+            bounds = (np.round(bounds / BT) * BT).astype(np.int64)
+            np.maximum.accumulate(bounds, out=bounds)
+            bounds = np.minimum(bounds, -(-csr.nrows // LANES))
+            bounds[0] = 0
+            bounds[-1] = -(-csr.nrows // LANES)
+        self.bounds = bounds
+
+        T_max = max(1, max(int(bounds[d + 1] - bounds[d]) for d in range(self.ndev)))
+        self.shard_rows = T_max * LANES
+        self.real = [
+            (min(int(bounds[d]) * LANES, csr.nrows),
+             min(int(bounds[d + 1]) * LANES, csr.nrows)
+             - min(int(bounds[d]) * LANES, csr.nrows))
+            for d in range(self.ndev)
+        ]
+
+        r_starts = np.array(
+            [self.real[d][0] for d in range(self.ndev)], np.int64
+        )
+        r_ends = r_starts + np.array(
+            [self.real[d][1] for d in range(self.ndev)], np.int64
+        )
+        # shard split: one native counting pass + one native fill pass
+        # (csrc cfs_dist_sym_count/_fill) replace the ~15 full NumPy
+        # passes of the per-shard masks/gathers/per-entry dict lookups
+        # that made DistSpDMV planning 77-90x the single-chip tune() at
+        # full scale (VERDICT r4 missing #3)
+        res = self._native_sym_split(lower, r_starts, r_ends)
+        if res is None:
+            res = self._numpy_sym_split(lower, r_starts, r_ends)
+        paired_plans, far_raw, dia_big, H_need = res
+        diags = []
+        for d in range(self.ndev):
+            r0, nr = self.real[d]
             dg = np.zeros(self.shard_rows, self.dtype)
-            dg[:nr] = diag[r0:r1]
+            dg[:nr] = diag[r0:r0 + nr]
             diags.append(dg)
 
         self._resolve_comm(H_need)
@@ -652,16 +804,21 @@ class DistSpDMV:
                 ncols_w = self.shard_rows + 2 * H
             else:
                 ncols_w = csr.ncols
-            fcoo = COO(
-                self.shard_rows, ncols_w,
-                lr.astype(np.int32), gc.astype(np.int32),
-                mv.astype(self.dtype),
-            )
+            # raw triples straight into the slot packer: the unit
+            # pipeline measured 44 s on a 2.1M-row stencil's far stream
+            # (the g^2 diagonals cross NB blocks, so ~2/13 of a 27-pt
+            # stencil's entries land far) while the native slot pack is
+            # ~1 s — and skipping canonicalize+CSR saves two more full
+            # sorts (entries are unique by construction)
+            from ..formats.bell2 import build_bell2_from_arrays
+
             far_plans.append(
-                build_bell2_plan(
-                    CSR.from_coo(fcoo), dtype=self.dtype,
-                    chunks_per_step=self.K, tiles_per_block=BT,
-                    allow_runs=False, allow_relax=False,
+                build_bell2_from_arrays(
+                    self.shard_rows, ncols_w,
+                    lr.astype(np.int32), gc.astype(np.int32),
+                    np.asarray(mv, self.dtype), dtype=self.dtype,
+                    chunks_per_step=self.K, tiles_per_block=self.BT,
+                    allow_runs=False, allow_relax=False, force_slot=True,
                 )
             )
 
@@ -687,7 +844,7 @@ class DistSpDMV:
             ps.append(np.pad(sb, (0, G_max - len(sb)), constant_values=last))
             # the paired plan's internal far residual (greedy leftovers)
             # stays a separate local one-sided stream
-        self._dia = np.stack(dia_vals) if Du else None
+        self._dia = dia_big
         self._paired = (np.stack(pv), np.stack(pp), np.stack(pm), np.stack(ps))
         self._paired_far = [p.far for p in paired_plans]
         if self.comm == "ring":

@@ -92,3 +92,21 @@ def time_matvec(matvec, x, iters: int = 500, repeats: int = 5) -> float:
         if t2 > 1.2 * t1:
             return (t2 - t1) / iters
     return t2 / (2 * iters)
+
+
+def ballast_probe(mb: int = 64) -> float:
+    """Host-noise probe: seconds to gather an ``mb``-MB array through a
+    random permutation. ~0.2 s on a quiet host; inflates 10-30x under
+    this VM's fast-RAM pressure episodes (see CLAUDE.md) — preprocessing
+    seconds quoted next to a bad probe are host-bound, not algorithmic."""
+    import numpy as _np
+
+    n = mb * (1 << 20) // 8
+    rng = _np.random.default_rng(0)
+    src = rng.uniform(size=n)
+    idx = rng.permutation(n)
+    t0 = time.perf_counter()
+    out = src[idx]
+    dt = time.perf_counter() - t0
+    del out
+    return dt

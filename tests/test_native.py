@@ -404,3 +404,35 @@ def test_sym_adjacency_same_rcm_perm(monkeypatch):
     monkeypatch.setattr(native, "sym_adjacency", lambda *a, **k: None)
     p_np = ro.rcm_permutation(csr)
     np.testing.assert_array_equal(p_nat, p_np)
+
+
+@requires_native
+def test_dist_sym_split_native_matches_numpy():
+    """The native two-pass distributed shard split (cfs_dist_sym_count/
+    _fill) produces bit-identical streams to the NumPy fallback."""
+    import cfs_spmv_tpu.native as nat
+    from cfs_spmv_tpu.parallel.dist import DistSpDMV
+    from cfs_spmv_tpu.parallel.mesh import make_mesh
+    from cfs_spmv_tpu.utils.proxies import cant_proxy, near_band_paired
+
+    for csr, nd in [(cant_proxy(n=20000, half_bw=16), 4),
+                    (near_band_paired(n=12000, n_diags=32, max_off=300),
+                     4)]:
+        mesh = make_mesh(nd)
+        d1 = DistSpDMV(csr, mesh)
+        old_lib, old_tried = nat._lib, nat._tried
+        nat._lib, nat._tried = None, True
+        try:
+            d2 = DistSpDMV(csr, mesh)
+        finally:
+            nat._lib, nat._tried = old_lib, old_tried
+        assert d1.far_nnz == d2.far_nnz
+        assert d1.dia_offsets == d2.dia_offsets
+        if d1._dia is None:
+            assert d2._dia is None
+        else:
+            np.testing.assert_array_equal(d1._dia, d2._dia)
+        for a, b in zip(d1._paired, d2._paired):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(d1._far, d2._far):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
