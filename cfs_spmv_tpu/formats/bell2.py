@@ -815,14 +815,17 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     ctx = (order, lrs, qs)
     if tbl is None:
         tbl = _lane_count_table(row, T)
-    # deep-16 contig subsumes contig-8: strictly more window freedom
-    # (chunks(16) <= chunks(8)) at measured-equal per-chunk cost on v5e
-    # (r3 ablation N1: depth-8 datapath 88.2 us vs deep-16 88.6 on the
-    # audikw far stream), so relax-enabled builds pack ONE deep-16
-    # baseline instead of contig-8 + deep-16 — the second-largest term
-    # of the full-scale audikw pack phase (14.3 s of 56 s) was the
-    # contig-8 pack that always lost
-    first_d = 2 * SUBLANES if allow_relax else max_windows
+    # contig-8 is the BASELINE again (round 5): round 3 packed one
+    # deep-16 baseline on the claim that the depth-16 datapath costs the
+    # same (r3 ablation under the RMW-stalled kernel), but round 4's
+    # lazy-store re-measurement shows each extra (8,128) slab costs
+    # 0.5-0.8 ns/chunk — and the audikw far stream packs the IDENTICAL
+    # chunk count at depth 8 (9931 == 9931, <0.01% of entries ever used
+    # r2 >= 8), so the deep baseline taxed the headline shape 5-8% for
+    # nothing. The r3 cost concern is gone too: the anchor-sweep pack is
+    # ~6x faster than the ring pack, and window-slack streams never
+    # escalate past the first pack.
+    first_d = max_windows if not allow_relax else SUBLANES
     pk_c = _pack_slots_entries(
         ts, lrs, sgs, qs, T, ensure_tiles=ensure_tiles,
         max_windows=first_d, contig=True,
@@ -839,7 +842,7 @@ def _choose_slot_packing(row, col, T, K, *, ensure_tiles,
     # window-bound at deep-16 and the old 1.15 trigger never fired)
     depths = []
     if allow_relax and len(pk_c[4]) > 1.05 * floor1:
-        depths = [4 * SUBLANES]
+        depths = [2 * SUBLANES, 4 * SUBLANES]
 
     for d in depths:
         # the relaxed floor bounds what this candidate could achieve;

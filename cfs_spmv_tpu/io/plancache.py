@@ -26,7 +26,7 @@ from ..utils.logging import info
 __all__ = ["save_plan", "load_plan", "cache_key", "cached_build"]
 
 #: bump to invalidate every cached plan (layout/kernel contract changes)
-PLAN_VERSION = 19  # 19: sweep packing (r18) + sbell slot stability/meta fill
+PLAN_VERSION = 20  # 20: contig-8 baseline restored (depth picked by slab cost)
 
 _PLAN_TYPES = {
     "Bell2Plan": Bell2Plan,
