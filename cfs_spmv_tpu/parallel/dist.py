@@ -785,6 +785,10 @@ class DistSpDMV:
         if res is None:
             res = self._numpy_sym_split(lower, r_starts, r_ends)
         paired_plans, far_raw, dia_big, H_need = res
+        # the lower CSR (1.4 GB at nlpkkt scale) is consumed; free it
+        # before the far-plan sorts/packs so the live set stays under
+        # this host's fast-backed-RAM ceiling
+        del lower
         diags = []
         for d in range(self.ndev):
             r0, nr = self.real[d]
