@@ -267,6 +267,14 @@ def bench_fp64(n=8192, half_bw=12, seed=0, iters=300):
         f"{t_pre:.2f}s t/iter={t_b*1e6:.1f}us "
         f"{A.tuned.nnz_full/t_b/1e9:.3f} Gnnz/s | correct={okb}"
     )
+    # batched df SpMM (round 5): the stream is read once per <=gmax-RHS
+    # group instead of once per column
+    Xb = np.random.default_rng(6).uniform(1, 2, (big.ncols, 8))
+    t_bmm = time_matvec(sp, Xb, iters=max(iters // 4, 50))
+    log(
+        f"[fp64_df_sdia_banded] SpMM(8): t/iter={t_bmm*1e6:.1f}us "
+        f"({t_bmm/8*1e6:.1f}us/RHS, {t_bmm/t_b:.2f}x SpMV)"
+    )
 
     csr = make_cant_proxy(n=n, half_bw=half_bw, dtype=np.float64, seed=seed)
     x = np.random.default_rng(5).uniform(1, 2, csr.ncols)

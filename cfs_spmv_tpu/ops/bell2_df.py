@@ -48,7 +48,8 @@ from .bell2_kernel import (
     _no_x64,
 )
 
-__all__ = ["bell2_spmv_tiles_df", "split_df", "fold_df_tiles"]
+__all__ = ["bell2_spmv_tiles_df", "bell2_spmm_tiles_df",
+           "split_df", "fold_df_tiles"]
 
 _SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for fp32
 
@@ -205,3 +206,136 @@ def fold_df_tiles(yh, yl, num_row_tiles):
     T = num_row_tiles
     s = yh.astype(jnp.float64) + yl.astype(jnp.float64)
     return s.reshape(T, SUBLANES, LANES).sum(axis=1)
+
+
+def _df_reduce8(h, l):
+    """(1, 128) df pair from an (8, 128) df pair by exact pairwise
+    TwoSum folding (3 stages) — the MM kernel reduces in-kernel so its
+    per-step output block is (B, BT, 128) instead of the SpMV path's
+    8x-tall partials, which at B=8 x 2 pairs blew the ~16 MB scoped
+    VMEM limit (measured: 72 MB requested on the audikw proxy)."""
+    for half in (4, 2, 1):
+        h, l = _df_add(h[half:2 * half], l[half:2 * half],
+                       h[:half], l[:half])
+    return h, l
+
+
+def _bell2_df_mm_kernel(sb_ref, mw_ref, vh_ref, vl_ref, pk_ref, xh_ref,
+                        xl_ref, yh_ref, yl_ref, *, K, depth, n_rhs):
+    """Multi-RHS double-float kernel: the value/index streams are read
+    ONCE per chunk and re-used across all RHS (the column-loop applier
+    re-streamed them per RHS); per-RHS (hi, lo) register accumulator
+    pairs follow the same lazy-store protocol as the SpMV kernel, with
+    the sublane reduction done in-kernel by exact pairwise df folding."""
+    g = pl.program_id(0)
+
+    @pl.when(
+        jnp.logical_or(g == 0, sb_ref[g] != sb_ref[jnp.maximum(g - 1, 0)])
+    )
+    def _():
+        yh_ref[...] = jnp.zeros_like(yh_ref)
+        yl_ref[...] = jnp.zeros_like(yl_ref)
+
+    base0 = g * K
+    acc_hi = [None] * n_rhs
+    acc_lo = [None] * n_rhs
+    prev = None
+    for k in range(K):
+        w = mw_ref[base0 + k]
+        sub = w & ((1 << WORD_SUB_BITS) - 1)
+        xb = w >> WORD_SUB_BITS
+        pk16 = _chunk(pk_ref, k)
+        vh = _chunk(vh_ref, k)
+        vl = _chunk(vl_ref, k)
+        if depth > SUBLANES:
+            pk = pk16.astype(jnp.int32)
+        for b in range(n_rhs):
+            if depth > SUBLANES:
+                gh = _gather_x_deep(
+                    [xh_ref[b, pl.ds(xb + 8 * i, SUBLANES), :]
+                     for i in range(depth // SUBLANES)], pk)
+                gl = _gather_x_deep(
+                    [xl_ref[b, pl.ds(xb + 8 * i, SUBLANES), :]
+                     for i in range(depth // SUBLANES)], pk)
+            else:
+                gh = _gather_x(xh_ref[b, pl.ds(xb, SUBLANES), :], pk16)
+                gl = _gather_x(xl_ref[b, pl.ds(xb, SUBLANES), :], pk16)
+            p, e = _two_prod(vh, gh)
+            e = e + (vh * gl + vl * gh)
+            ch, cl = _df_reduce8(p, e)
+            if acc_hi[b] is None:  # k == 0: tiles straddling steps
+                acc_hi[b] = yh_ref[b, pl.ds(sub, 1), :]
+                acc_lo[b] = yl_ref[b, pl.ds(sub, 1), :]
+            else:
+                same = sub == prev
+                acc_hi[b] = jnp.where(
+                    same, acc_hi[b], jnp.zeros_like(acc_hi[b])
+                )
+                acc_lo[b] = jnp.where(
+                    same, acc_lo[b], jnp.zeros_like(acc_lo[b])
+                )
+            acc_hi[b], acc_lo[b] = _df_add(ch, cl, acc_hi[b], acc_lo[b])
+            yh_ref[b, pl.ds(sub, 1), :] = acc_hi[b]
+            yl_ref[b, pl.ds(sub, 1), :] = acc_lo[b]
+        prev = sub
+
+
+def _grid_spec_df_mm(G, K, BT, B):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bell2_kernel import _i32map
+
+    stream = pl.BlockSpec(
+        (K * SUBLANES, LANES), _i32map(lambda g, s, m: (g, 0))
+    )
+    out = pl.BlockSpec(
+        (B, BT, LANES), _i32map(lambda g, s, m: (0, s[g], 0))
+    )
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            stream, stream, stream,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out, out],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_tiles", "chunks_per_step",
+                     "tiles_per_block", "depth", "interpret"),
+)
+@_no_x64
+def bell2_spmm_tiles_df(
+    vals_hi, vals_lo, packed, meta_word_arr, step_block, xh3d, xl3d,
+    *,
+    num_row_tiles: int,
+    chunks_per_step: int,
+    tiles_per_block: int,
+    depth: int = SUBLANES,
+    interpret: bool = False,
+):
+    """(hi, lo) REDUCED tiles (B, T, 128) of Y = A @ X in double-float;
+    X as (B, x_rows, 128) hi/lo pairs. One stream pass serves every RHS
+    (the reference's ``--enable-dp`` SpMM analog); the caller folds
+    hi + lo in float64."""
+    C = vals_hi.shape[0] // SUBLANES
+    B = xh3d.shape[0]
+    K, BT = chunks_per_step, tiles_per_block
+    assert C % K == 0
+    G = C // K
+    tiles_padded = -(-num_row_tiles // BT) * BT
+    out_shape = jax.ShapeDtypeStruct(
+        (B, tiles_padded, LANES), jnp.float32
+    )
+    yh, yl = pl.pallas_call(
+        functools.partial(_bell2_df_mm_kernel, K=K, depth=depth,
+                          n_rhs=B),
+        grid_spec=_grid_spec_df_mm(G, K, BT, B),
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(step_block, meta_word_arr, vals_hi, vals_lo, packed, xh3d, xl3d)
+    return yh[:, :num_row_tiles], yl[:, :num_row_tiles]

@@ -38,7 +38,7 @@ from .sdia_kernel import (
     _group_by_sublane_shift,
 )
 
-__all__ = ["sdia_sym_tiles_df"]
+__all__ = ["sdia_sym_tiles_df", "sdia_sym_tiles_df_mm"]
 
 
 def _df_mul(vh, vl, xh, xl):
@@ -49,14 +49,30 @@ def _df_mul(vh, vl, xh, xl):
 
 
 def _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref, rb, RB,
-                  *, offsets, SP):
+                  *, offsets, SP, b=None):
     g = pl.program_id(0)
     base = SP + (g * RB + rb) * SUBLANES
 
+    def xs_load(ref, r0, n=SUBLANES):
+        if b is None:
+            return ref[pl.ds(r0, n), :]
+        return ref[b, pl.ds(r0, n), :]
+
+    def y_get(ref, r0, n):
+        if b is None:
+            return ref[pl.ds(r0, n), :]
+        return ref[b, pl.ds(r0, n), :]
+
+    def y_set(ref, r0, n, v):
+        if b is None:
+            ref[pl.ds(r0, n), :] = v
+        else:
+            ref[b, pl.ds(r0, n), :] = v
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     lane9 = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES + 1, LANES), 1)
-    xbh = xh_ref[pl.ds(base, SUBLANES), :]
-    xbl = xl_ref[pl.ds(base, SUBLANES), :]
+    xbh = xs_load(xh_ref, base)
+    xbl = xs_load(xl_ref, base)
     accr_h = jnp.zeros((SUBLANES, LANES), jnp.float32)
     accr_l = jnp.zeros((SUBLANES, LANES), jnp.float32)
     acc0 = None  # the s == 0 transpose group merges into accr's flush
@@ -64,10 +80,10 @@ def _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref, rb, RB,
     for s, diags in sorted(_group_by_sublane_shift(offsets).items()):
         a9h = jnp.zeros((SUBLANES + 1, LANES), jnp.float32)
         a9l = jnp.zeros((SUBLANES + 1, LANES), jnp.float32)
-        t1h = xh_ref[pl.ds(base - s, SUBLANES), :]
-        t0h = xh_ref[pl.ds(base - s - 1, SUBLANES), :]
-        t1l = xl_ref[pl.ds(base - s, SUBLANES), :]
-        t0l = xl_ref[pl.ds(base - s - 1, SUBLANES), :]
+        t1h = xs_load(xh_ref, base - s)
+        t0h = xs_load(xh_ref, base - s - 1)
+        t1l = xs_load(xl_ref, base - s)
+        t0l = xs_load(xl_ref, base - s - 1)
         for j, l in diags:
             vh = vh_ref[rb, j]
             vl = vl_ref[rb, j]
@@ -108,11 +124,11 @@ def _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref, rb, RB,
         if s == 0:
             acc0 = (a9h, a9l)
         else:
-            ch = yh_ref[pl.ds(base - s - 1, SUBLANES + 1), :]
-            cl = yl_ref[pl.ds(base - s - 1, SUBLANES + 1), :]
+            ch = y_get(yh_ref, base - s - 1, SUBLANES + 1)
+            cl = y_get(yl_ref, base - s - 1, SUBLANES + 1)
             nh, nl = _df_add(a9h, a9l, ch, cl)
-            yh_ref[pl.ds(base - s - 1, SUBLANES + 1), :] = nh
-            yl_ref[pl.ds(base - s - 1, SUBLANES + 1), :] = nl
+            y_set(yh_ref, base - s - 1, SUBLANES + 1, nh)
+            y_set(yl_ref, base - s - 1, SUBLANES + 1, nl)
     # one combined read-modify-write for the row side + s == 0 group
     if acc0 is not None:
         oh, ol = _df_add(
@@ -120,29 +136,30 @@ def _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref, rb, RB,
             jnp.pad(accr_l, ((1, 0), (0, 0))),
             acc0[0], acc0[1],
         )
-        ch = yh_ref[pl.ds(base - 1, SUBLANES + 1), :]
-        cl = yl_ref[pl.ds(base - 1, SUBLANES + 1), :]
+        ch = y_get(yh_ref, base - 1, SUBLANES + 1)
+        cl = y_get(yl_ref, base - 1, SUBLANES + 1)
         nh, nl = _df_add(oh, ol, ch, cl)
-        yh_ref[pl.ds(base - 1, SUBLANES + 1), :] = nh
-        yl_ref[pl.ds(base - 1, SUBLANES + 1), :] = nl
+        y_set(yh_ref, base - 1, SUBLANES + 1, nh)
+        y_set(yl_ref, base - 1, SUBLANES + 1, nl)
     else:
-        ch = yh_ref[pl.ds(base, SUBLANES), :]
-        cl = yl_ref[pl.ds(base, SUBLANES), :]
+        ch = y_get(yh_ref, base, SUBLANES)
+        cl = y_get(yl_ref, base, SUBLANES)
         nh, nl = _df_add(accr_h, accr_l, ch, cl)
-        yh_ref[pl.ds(base, SUBLANES), :] = nh
-        yl_ref[pl.ds(base, SUBLANES), :] = nl
+        y_set(yh_ref, base, SUBLANES, nh)
+        y_set(yl_ref, base, SUBLANES, nl)
 
 
 def _sdia_df_kernel(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref, *,
-                    offsets, SP, RB):
+                    offsets, SP, RB, n_rhs=None):
     @pl.when(pl.program_id(0) == 0)
     def _():
         yh_ref[...] = jnp.zeros_like(yh_ref)
         yl_ref[...] = jnp.zeros_like(yl_ref)
 
     for rb in range(RB):
-        _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref,
-                      rb, RB, offsets=offsets, SP=SP)
+        for b in ([None] if n_rhs is None else range(n_rhs)):
+            _sdia_df_body(vh_ref, vl_ref, xh_ref, xl_ref, yh_ref,
+                          yl_ref, rb, RB, offsets=offsets, SP=SP, b=b)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -198,3 +215,49 @@ def sdia_sym_tiles_df(vals_hi, vals_lo, xh2d, xl2d, *, offsets,
         interpret=interpret,
     )(vals_hi, vals_lo, xph, xpl)
     return yh[SP:SP + T], yl[SP:SP + T]
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+@_no_x64
+def sdia_sym_tiles_df_mm(vals_hi, vals_lo, xh3d, xl3d, *, offsets,
+                         interpret=False):
+    """(hi, lo) fp32 (B, T, 128) tile pairs of (L + D/2·2 + Lᵀ) X in
+    double-float; X as (B, x_rows, 128) hi/lo pairs. The diagonal value
+    planes are read once per row block and re-used across all RHS."""
+    R, D = vals_hi.shape[0], vals_hi.shape[1]
+    assert D == len(offsets)
+    B, T = xh3d.shape[0], xh3d.shape[1]
+    SP = max(d // LANES for d in offsets) + 1
+    RB = _blocks_per_step(R, D)
+    assert R % RB == 0, "plan must pad R to the RB multiple"
+    rows = SP + R * SUBLANES
+    xph = jnp.pad(
+        xh3d, ((0, 0), (SP, max(0, rows - SP - xh3d.shape[1])), (0, 0))
+    )[:, :rows]
+    xpl = jnp.pad(
+        xl3d, ((0, 0), (SP, max(0, rows - SP - xl3d.shape[1])), (0, 0))
+    )[:, :rows]
+    out_shape = jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32)
+    yh, yl = pl.pallas_call(
+        functools.partial(
+            _sdia_df_kernel, offsets=offsets, SP=SP, RB=RB, n_rhs=B
+        ),
+        grid=(R // RB,),
+        in_specs=[
+            pl.BlockSpec(
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+            ),
+            pl.BlockSpec(
+                (RB, D, SUBLANES, LANES), _i32map(lambda g: (g, 0, 0, 0))
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(vals_hi, vals_lo, xph, xpl)
+    return yh[:, SP:SP + T], yl[:, SP:SP + T]

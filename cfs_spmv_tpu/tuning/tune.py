@@ -466,9 +466,70 @@ def _tune_fp64_df(csr: CSR, fmt: Format,
     def apply_mv(ops, x):
         return _one(ops, x)
 
+    def _mm_group(ops, xb):
+        """One <=8-RHS group through the batched df kernels (streams
+        and diagonal planes read once per chunk/block, not per RHS)."""
+        from ..ops.bell2_df import bell2_spmm_tiles_df
+        from ..ops.sdia_df import sdia_sym_tiles_df_mm
+
+        b = xb.shape[1]
+        xh, xl = split_df(xb.T)  # (b, n) fp32 pairs
+
+        def to3(a, rows):
+            return jnp.pad(
+                a, ((0, 0), (0, rows * LANES - a.shape[1]))
+            ).reshape(b, rows, LANES)
+
+        y = None
+        if has_far:
+            yh, yl = bell2_spmm_tiles_df(
+                ops["vh"], ops["vl"], ops["pk"], ops["mw"], ops["sb"],
+                to3(xh, x_rows), to3(xl, x_rows),
+                num_row_tiles=T, chunks_per_step=K, tiles_per_block=BT,
+                depth=depth, interpret=spmv_ops.use_interpret(),
+            )
+            flat = (
+                yh.astype(jnp.float64) + yl.astype(jnp.float64)
+            ).reshape(b, -1)
+            if ops["perm"] is not None:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((b, 1), flat.dtype)], axis=1
+                )
+                y = flat[:, ops["perm"]]
+            else:
+                y = flat[:, :nrows]
+        if dia_offsets is not None:
+            dyh, dyl = sdia_sym_tiles_df_mm(
+                ops["dh"], ops["dl"], to3(xh, dia_T), to3(xl, dia_T),
+                offsets=dia_offsets, interpret=spmv_ops.use_interpret(),
+            )
+            ydia = (
+                dyh.astype(jnp.float64) + dyl.astype(jnp.float64)
+            ).reshape(b, -1)[:, :nrows]
+            y = ydia if y is None else y + ydia
+        return y.T
+
+    #: batched df MM limits: the word kernel double-buffers (B, BT, 128)
+    #: hi/lo out blocks in ~16 MB scoped VMEM (B=8 at BT=512 measured
+    #: 428 KB over), so the group size scales down with BT; and the
+    #: kernels keep B x/y pair planes whole in VMEM, so past
+    #: _DF_MM_ROWS_MAX (rows-of-128 x B) the matrix falls back to one
+    #: df SpMV per column
+    _DF_MM_ROWS_MAX = 40_000
+    gmax = int(max(1, min(8, 2048 // max(BT, 1))))
+
     def apply_mm(ops, x):
-        cols = [_one(ops, x[:, b]) for b in range(x.shape[1])]
-        return jnp.stack(cols, axis=1)
+        B_all = x.shape[1]
+        rows_bound = max(x_rows if has_far else 0,
+                         dia_T if dia_offsets is not None else 0)
+        if min(B_all, gmax) * rows_bound > _DF_MM_ROWS_MAX:
+            cols = [_one(ops, x[:, c]) for c in range(B_all)]
+            return jnp.stack(cols, axis=1)
+        cols = [
+            _mm_group(ops, x[:, c0:c0 + gmax])
+            for c0 in range(0, B_all, gmax)
+        ]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
 
     nnz_log = plan.nnz + (0 if dia_plan is None else dia_plan.nnz)
     if csr.symmetric:
