@@ -84,6 +84,16 @@ def _two_prod(a, b):
 
 
 def _df_add(hi, lo, acc_hi, acc_lo):
+    """Normalized compensated accumulate (TwoSum + renormalize).
+
+    Round-5 negative result: dropping the final normalizing two_sum
+    (to shorten the loop-carried dependency to one op per plane)
+    measured NO speedup on the audikw df stream (784.5 -> 778.7 us,
+    within noise) — the df word kernel is gather/stream-bound, not
+    chain-bound — while costing ~3.9e-8 relative error on ~6% of rows
+    in the interpreter (a one-ulp compensation loss in the kernel
+    context that a pure jit repro of the same chain does not show).
+    Keep the normalized form."""
     s, e = _two_sum(acc_hi, hi)
     e = e + (acc_lo + lo)
     return _two_sum(s, e)
