@@ -464,3 +464,34 @@ def test_halo_explicit_request_unviable_warns(mesh8):
         np.asarray(dsp(x)), csr.spmv_host(x), dtype=np.float64,
         nnz_per_row=3, scale=csr.spmv_host(x, absolute=True),
     )
+
+
+def test_cg_over_dist_operator():
+    """Iterative solvers compose with the distributed operator: CG over
+    a 4-device mesh converges on an SPD system (the mesh-scale analog
+    of the reference's parallel solver usage — every matvec inside the
+    scan is the full shard_map program with its collectives)."""
+    import numpy as np
+
+    from cfs_spmv_tpu.formats.coo import COO
+    from cfs_spmv_tpu.formats.csr import CSR
+    from cfs_spmv_tpu.models import solvers
+    from cfs_spmv_tpu.parallel.dist import DistSpDMV
+    from cfs_spmv_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    rows = np.repeat(np.arange(n, dtype=np.int64), 6)
+    cols = np.clip(rows - rng.integers(1, 40, n * 6), 0, n - 1)
+    keep = cols < rows
+    r = np.concatenate([rows[keep], np.arange(n)])
+    c = np.concatenate([cols[keep], np.arange(n)])
+    v = np.concatenate([
+        rng.uniform(-1, 1, keep.sum()), np.full(n, 15.0)
+    ]).astype(np.float32)
+    csr = CSR.from_coo(COO(n, n, r, c, v, symmetric=True).canonicalize())
+    dsp = DistSpDMV(csr, make_mesh(4))
+    b = rng.uniform(1, 2, n).astype(np.float32)
+    x, rnorm, hist = solvers.cg(dsp, b, iters=40)
+    res = b - np.asarray(dsp(np.asarray(x)))
+    assert np.linalg.norm(res) / np.linalg.norm(b) < 1e-5
