@@ -704,46 +704,26 @@ def _unperm_cost_cyc(unp, n):
 #: rows are re-sorted by degree only within an R-row neighborhood, so a
 #: chunk mixes rows whose columns still sit near each other (banded /
 #: block structure keeps its window locality)
-_GROUP_RADII = (1024, 8192)
+_GROUP_RADII = (512, 1024, 8192)
+#: up to this many entries every radius candidate is PACKED and ranked
+#: by modeled cost (chunks x cycles + unpermute): the floor is a bad
+#: proxy once window binding enters — on the near_band_paired far
+#: stream the radius with the BEST floor (8192: 1702) packs 2111
+#: chunks while radius 512 (floor 1861) packs 1989. Bigger streams
+#: keep the one-pack floor heuristic (each candidate pack costs real
+#: host time at scale).
+_GROUP_PACK_EVAL_MAX = 4_000_000
 
 
-def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
-                         max_windows=SUBLANES, strict_floor=None):
-    """Evaluate degree-grouped row tiling against the in-order layout.
-
-    Returns ``None`` when no grouped floor (plus the apply-time
-    unpermute-gather margin, ~16 B/row against ~10 KB of stream traffic
-    per chunk) can beat the in-order lane floor. Otherwise picks the
-    smallest radius whose floor is within 5% of the best (smaller radii
-    preserve column-window locality for the same lane balance), packs
-    that layout (which may itself pick deep windows / rotation) and
-    returns everything the builder needs to adopt it. The grouped grid
-    is sparse (blocks without chunks are skipped); rows living in
-    skipped blocks are routed to the zero sentinel at apply time."""
-    counts = np.bincount(row, minlength=n)
-    # optimistic unpermute charge for the early gate (W >= 2 slabs)
-    margin = int(
-        (-(-n // 1024)) * (_CYC_UNPERM_BASE + 2 * _CYC_UNPERM_SLAB)
-        / _CYC_CONTIG
-    ) + 1
-    floor_g, Tc = _perm_floor_chunks(counts)
-    cands = [(None, floor_g)]
-    for R in _GROUP_RADII:
-        if R < n:
-            cands.append((R, _radius_floor(counts, R)))
-    best_floor = min(f for _, f in cands)
-    if strict_floor is not None and (
-        best_floor + margin >= 0.9 * strict_floor
-    ):
-        return None
-    radius, floor_p = min(
-        ((r, f) for r, f in cands if f <= 1.05 * best_floor),
-        key=lambda rf: (rf[0] is None, rf[0] or 0),
-    )
-    cls = _degree_class(counts)
+def _pack_grouped(radius, counts, cls, row, col, n, K, BT, *,
+                  allow_runs, max_windows):
+    """Pack one grouped-layout candidate (global compaction when
+    ``radius`` is None) and price it: chunks x cycles/chunk + the
+    unpermute kernel cost. Returns the adoption dict or None (unpermute
+    slab capacity exceeded)."""
     if radius is None:
         order = np.argsort(-cls, kind="stable")
-        T_out = Tc
+        T_out = _perm_floor_chunks(counts)[1]
     else:
         # block-local class sort: (block asc, class desc, row asc)
         blocks = np.arange(n, dtype=np.int64) // radius
@@ -781,7 +761,7 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
     unp = _build_unperm(perm, sentinel)
     if unp is None:
         # some out-block would exceed the unpermute kernel's slab
-        # capacity — grouping is not available for this structure
+        # capacity — this grouping is not available
         return None
     cost = len(pk[4]) * _cyc_per_chunk(depth, rot) + _unperm_cost_cyc(
         unp, n
@@ -790,6 +770,58 @@ def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
         pk=pk, contig=contig, run_pick=run_pick, depth=depth, rot=rot,
         T=T_out, ctx=ctx, perm=perm,
         cost=cost, radius=radius, unperm=unp,
+    )
+
+
+def _try_degree_grouping(row, col, n, K, BT, *, allow_runs,
+                         max_windows=SUBLANES, strict_floor=None):
+    """Evaluate degree-grouped row tiling against the in-order layout.
+
+    Returns ``None`` when no grouped floor (plus the apply-time
+    unpermute-gather margin, ~16 B/row against ~10 KB of stream traffic
+    per chunk) can beat the in-order lane floor. Small streams pack
+    EVERY radius candidate and keep the cheapest by modeled cost
+    (see ``_GROUP_PACK_EVAL_MAX``); big streams pick the smallest
+    radius whose floor is within 5% of the best and pack once. The
+    grouped grid is sparse (blocks without chunks are skipped); rows
+    living in skipped blocks are routed to the zero sentinel at apply
+    time."""
+    counts = np.bincount(row, minlength=n)
+    # optimistic unpermute charge for the early gate (W >= 2 slabs)
+    margin = int(
+        (-(-n // 1024)) * (_CYC_UNPERM_BASE + 2 * _CYC_UNPERM_SLAB)
+        / _CYC_CONTIG
+    ) + 1
+    floor_g, Tc = _perm_floor_chunks(counts)
+    cands = [(None, floor_g)]
+    for R in _GROUP_RADII:
+        if R < n:
+            cands.append((R, _radius_floor(counts, R)))
+    best_floor = min(f for _, f in cands)
+    if strict_floor is not None and (
+        best_floor + margin >= 0.9 * strict_floor
+    ):
+        return None
+    cls = _degree_class(counts)
+    if len(row) <= _GROUP_PACK_EVAL_MAX:
+        best = None
+        for radius, _fl in cands:
+            res = _pack_grouped(
+                radius, counts, cls, row, col, n, K, BT,
+                allow_runs=allow_runs, max_windows=max_windows,
+            )
+            if res is not None and (
+                best is None or res["cost"] < best["cost"]
+            ):
+                best = res
+        return best
+    radius, floor_p = min(
+        ((r, f) for r, f in cands if f <= 1.05 * best_floor),
+        key=lambda rf: (rf[0] is None, rf[0] or 0),
+    )
+    return _pack_grouped(
+        radius, counts, cls, row, col, n, K, BT,
+        allow_runs=allow_runs, max_windows=max_windows,
     )
 
 
@@ -1109,9 +1141,15 @@ def build_bell2_from_arrays(
                     allow_relax=allow_relax, tbl=tbl,
                 )
             )
-            if grp is not None and grp["cost"] < len(packed_alt[4]) * (
-                _cyc_per_chunk(depth, rot)
-            ):
+            # 1.1: prefer the grouped layout on near-ties — measured
+            # round 5 (near_band_paired far stream): the model ranked
+            # in-order 2% cheaper (2304 x 7.3 vs 1979 x 7.8 + unperm)
+            # but the hardware ran grouped 13% FASTER (24.0 vs
+            # 27.2-27.7 us): irregular in-order streams run above the
+            # modeled per-chunk cost, so fewer chunks win ties
+            if grp is not None and grp["cost"] < 1.1 * len(
+                packed_alt[4]
+            ) * _cyc_per_chunk(depth, rot):
                 packed_alt = grp["pk"]
                 contig, run_pick = grp["contig"], grp["run_pick"]
                 depth, rot = grp["depth"], grp["rot"]
@@ -1180,8 +1218,10 @@ def build_bell2_from_arrays(
                     and len(grp["pk"][4]) < len(chunk_tiles)
                     and (
                         cand is None
-                        or grp["cost"]
-                        < len(cand[0][4]) * _cyc_per_chunk(cand[3], cand[4])
+                        # 1.1: same grouped near-tie preference as the
+                        # main branch (measured round 5 — see above)
+                        or grp["cost"] < 1.1 * len(cand[0][4])
+                        * _cyc_per_chunk(cand[3], cand[4])
                     )
                 ):
                     cand = (
