@@ -336,9 +336,10 @@ def main():
     # near-banded irregular symmetric (paired-stream proxy, VERDICT r4
     # #2): locally-dense diagonals below the SDIA bar. The round-5
     # cost gate routes its loose paired pack (fill 0.45) to the
-    # mirrored one-sided stream — 65.5 -> 27.7 us measured
-    # (docs/KERNEL_NOTES_R5.md); tracked on stderr (58% of the
-    # CSR-traffic SOL; the stream's own-traffic SOL is met)
+    # mirrored one-sided stream, and pack-ranked degree grouping takes
+    # it further — 65.5 -> 27.7 -> 24.8 us measured
+    # (docs/KERNEL_NOTES_R5.md); tracked on stderr (65% of the
+    # CSR-traffic SOL)
     bench_one(
         "near_band_paired", make_near_band_paired(), iters=1000,
         reorder=False,
