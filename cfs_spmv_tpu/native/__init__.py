@@ -367,7 +367,12 @@ def pack_slots_sweep(tile, lane_r, seg, lane_c, max_windows):
     e_sub = np.zeros(max(n, 1), edt)
     e_r2 = np.zeros(max(n, 1), edt)
     e_rc = np.zeros(max(n, 1), edt)
+    # chunk count can exceed n: phase-1 planned chunks (<= n) may be
+    # drained by phase-2 reuse while their entries land in fallback
+    # chunks (also <= n), so the hard bound is 2n; grow to it instead
+    # of retrying forever at n
     cap = min(max(n // 32, 4096), max(n, 1))
+    cap_max = 2 * max(n, 1) + 16
     while True:
         chunk_tile = np.zeros(cap, np.int64)
         windows = np.zeros((cap, 8), np.int32)
@@ -378,7 +383,9 @@ def pack_slots_sweep(tile, lane_r, seg, lane_c, max_windows):
         )
         if C0 != -2:
             break
-        cap = max(n, 1)
+        if cap >= cap_max:
+            return None  # cannot happen by the 2n bound; fail safe
+        cap = cap_max if cap >= max(n, 1) else max(n, 1)
     if C0 < 0:
         return None
     return (

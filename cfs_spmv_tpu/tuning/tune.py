@@ -525,11 +525,19 @@ def _tune_fp64_df(csr: CSR, fmt: Format,
         if min(B_all, gmax) * rows_bound > _DF_MM_ROWS_MAX:
             cols = [_one(ops, x[:, c]) for c in range(B_all)]
             return jnp.stack(cols, axis=1)
+        # zero-pad the tail group to gmax: B is a static kernel shape,
+        # so a remainder group would compile a second Pallas executable
+        # (30-100 s per shape through the axon tunnel)
+        pad = (-B_all) % gmax if B_all > gmax else 0
+        xp = (
+            jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        )
         cols = [
-            _mm_group(ops, x[:, c0:c0 + gmax])
-            for c0 in range(0, B_all, gmax)
+            _mm_group(ops, xp[:, c0:c0 + gmax])
+            for c0 in range(0, xp.shape[1], gmax)
         ]
-        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+        out = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
+        return out[:, :B_all]
 
     nnz_log = plan.nnz + (0 if dia_plan is None else dia_plan.nnz)
     if csr.symmetric:

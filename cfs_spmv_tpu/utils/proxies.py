@@ -170,8 +170,9 @@ def near_band_paired(n=50_000, n_diags=96, max_off=800, p_active=0.3,
         rows = rows[keep]
         rows_l.append(rows)
         cols_l.append(rows - d)
-    row = np.concatenate(rows_l)
-    col = np.concatenate(cols_l)
+    z = [np.zeros(0, np.int64)]  # all diagonals may draw no active tile
+    row = np.concatenate(rows_l or z)
+    col = np.concatenate(cols_l or z)
     val = rng.uniform(-1, 1, len(row)).astype(np.float32)
     diag = np.arange(n, dtype=np.int64)
     row = np.concatenate([row, diag])
