@@ -1054,28 +1054,32 @@ def build_bell2_from_arrays(
     # unit-based subrows would sit mostly empty — go straight to the
     # conflict-aware slot packer and skip two full sort pipelines
     slot_ok = _native.available() or nnz <= 2_000_000 or force_slot
-    key_space = T * (x_rows + 1)
-    kdt = (
-        np.int32
-        if tile.dtype == np.int32 and key_space < (1 << 31)
-        else np.int64
-    )
-    ts_key = tile.astype(kdt, copy=True)
-    ts_key *= kdt(x_rows + 1)
-    ts_key += seg.astype(kdt, copy=False)
-    if key_space <= max(4 * nnz, 1 << 26):
-        # distinct-count via boolean scatter: two O(nnz) passes instead
-        # of a full sort (np.unique) — the predictor was costing more
-        # than the decision it informs on big matrices
-        present = np.zeros(key_space, bool)
-        present[ts_key] = True
-        n_ts = int(np.count_nonzero(present))
-    else:
-        n_ts = len(np.unique(ts_key))
-    del ts_key
-    avg_per_ts = nnz / max(n_ts, 1)
     if force_slot:
-        avg_per_ts = 0.0  # straight to the conflict-aware slot packer
+        # straight to the conflict-aware slot packer — skip the
+        # predictor entirely (its distinct-count alone was ~6 s on the
+        # nlpkkt dist far stream's 36M entries, measured round 5)
+        avg_per_ts = 0.0
+    else:
+        key_space = T * (x_rows + 1)
+        kdt = (
+            np.int32
+            if tile.dtype == np.int32 and key_space < (1 << 31)
+            else np.int64
+        )
+        ts_key = tile.astype(kdt, copy=True)
+        ts_key *= kdt(x_rows + 1)
+        ts_key += seg.astype(kdt, copy=False)
+        if key_space <= max(4 * nnz, 1 << 26):
+            # distinct-count via boolean scatter: two O(nnz) passes
+            # instead of a full sort (np.unique) — the predictor was
+            # costing more than the decision it informs on big matrices
+            present = np.zeros(key_space, bool)
+            present[ts_key] = True
+            n_ts = int(np.count_nonzero(present))
+        else:
+            n_ts = len(np.unique(ts_key))
+        del ts_key
+        avg_per_ts = nnz / max(n_ts, 1)
     if slot_ok and avg_per_ts >= 24:
         # dense tile-segments still slot-pack better when the entries
         # sit on SPARSE exact diagonals (block structure at random
